@@ -1,0 +1,140 @@
+"""Device-side climatology: windowed doy quantile/mean, feb29, smoothing.
+
+TPU-first redesign of the reference's per-cell dask pipeline
+(window_roll -> groupby(doy).quantile/mean -> feb29 -> runavg;
+reference: xmhw/identify.py:184-270, 137-181). Instead of materializing an
+11x-length stacked series per cell and looping cells through a dask graph,
+we compute ALL cells at once on dense ``(time, cell)`` arrays:
+
+* a static int32 gather table (built once on host,
+  :func:`xmhw_tpu.core.calendar.build_window_index`) maps each doy bucket to
+  its pooled time indices;
+* one gather produces a dense ``(ndoy, Z, cell)`` tensor; a masked sort
+  yields the linear-interpolation percentile (matching numpy/xarray
+  ``quantile``) with per-(doy, cell) valid counts — this reproduces
+  window_roll's dropna semantics (NaN values never enter the pool,
+  reference: identify.py:208) for BOTH skipna modes;
+* the Feb-29 patch averages doys 59..61 (reference: identify.py:137-151);
+* the circular running-mean smoother is a sum of rolls on the doy axis —
+  exactly periodic, NaN-propagating like the reference's pad(wrap)+rolling
+  (reference: identify.py:154-181).
+
+Everything is jit-compiled and vectorized over the trailing cell axis, so
+sharding the cell axis over a device mesh parallelizes it with zero
+communication.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _masked_sort(vals, mask):
+    """Sort ``vals`` ascending along axis 1 with invalid entries last.
+
+    Returns (sorted_vals, n_valid) where n_valid counts valid entries per
+    (doy, cell).
+    """
+    big = jnp.asarray(jnp.inf, vals.dtype)
+    vals = jnp.where(mask, vals, big)
+    svals = jnp.sort(vals, axis=1)
+    n = jnp.sum(mask, axis=1)  # (ndoy, cell)
+    return svals, n
+
+
+def _interp_quantile(svals, n, q):
+    """Linear-interpolation quantile of pre-sorted values.
+
+    Matches numpy's default 'linear' method used by pandas/xarray groupby
+    quantile (reference: identify.py:233-235): position = q*(n-1).
+    """
+    dtype = svals.dtype
+    pos = q * (n.astype(dtype) - 1.0)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.ceil(pos).astype(jnp.int32)
+    lo = jnp.clip(lo, 0, svals.shape[1] - 1)
+    hi = jnp.clip(hi, 0, svals.shape[1] - 1)
+    frac = (pos - lo.astype(dtype)).astype(dtype)
+    vlo = jnp.take_along_axis(svals, lo[:, None, :], axis=1)[:, 0, :]
+    vhi = jnp.take_along_axis(svals, hi[:, None, :], axis=1)[:, 0, :]
+    out = vlo + frac * (vhi - vlo)
+    return jnp.where(n > 0, out, jnp.nan)
+
+
+@functools.partial(jax.jit, static_argnames=("pctile",))
+def doy_clim(ts, gidx, pctile):
+    """Windowed day-of-year percentile threshold and mean climatology.
+
+    Parameters
+    ----------
+    ts: (T, C) float array — SST per (time, cell); NaN = missing
+    gidx: (ndoy, Z) int32 — pooled time indices per doy bucket, -1 padded
+    pctile: static int — threshold percentile (reference default 90)
+
+    Returns
+    -------
+    thresh, seas: (ndoy, C) arrays (NaN where a bucket is empty)
+    """
+    pos_ok = gidx >= 0  # (ndoy, Z)
+    safe_idx = jnp.where(pos_ok, gidx, 0)
+    vals = ts[safe_idx]  # (ndoy, Z, C)
+    mask = pos_ok[..., None] & jnp.isfinite(vals)
+    svals, n = _masked_sort(vals, mask)
+    thresh = _interp_quantile(svals, n, jnp.asarray(pctile / 100.0, ts.dtype))
+    ssum = jnp.sum(jnp.where(mask, vals, 0.0), axis=1)
+    seas = jnp.where(n > 0, ssum / jnp.maximum(n, 1).astype(ts.dtype),
+                     jnp.nan)
+    return thresh, seas
+
+
+def feb29_patch(clim):
+    """Overwrite doy 60 (row 59) with nanmean of doys 59..61.
+
+    The reference deliberately averages 28 Feb, 29 Feb and 1 Mar (skipna),
+    diverging from Oliver's original two-day average
+    (reference: identify.py:137-151, applied at identify.py:237-240).
+    Only meaningful for ndoy == 366 (tstep=False path).
+    """
+    rows = clim[58:61]  # doys 59,60,61
+    m = jnp.isfinite(rows)
+    s = jnp.sum(jnp.where(m, rows, 0.0), axis=0)
+    c = jnp.sum(m, axis=0)
+    mean = jnp.where(c > 0, s / jnp.maximum(c, 1).astype(clim.dtype), jnp.nan)
+    return clim.at[60 - 1].set(mean)  # row 59 == doy 60
+
+
+def runavg_circular(clim, w):
+    """Periodic centered running mean of width ``w`` on the doy axis.
+
+    NaN-propagating, like the reference's pad(wrap) + rolling(center).mean
+    (reference: identify.py:154-181). ``w`` must be odd (validated at the
+    API layer, reference: xmhw.py:103-104 / identify.py:173-174).
+    """
+    half = (w - 1) // 2
+    acc = jnp.zeros_like(clim)
+    for k in range(-half, half + 1):
+        acc = acc + jnp.roll(clim, -k, axis=0)
+    return acc / jnp.asarray(w, clim.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pctile", "smooth", "smooth_w", "patch_feb29"),
+)
+def clim_kernel(ts, gidx, pctile=90, smooth=True, smooth_w=31,
+                patch_feb29=True):
+    """Fused climatology pipeline: pooling -> quantile/mean -> feb29 ->
+    circular smoothing. One XLA program per cell block; replaces the
+    reference's delayed graph calc_clim (reference: xmhw.py:250-307).
+    """
+    thresh, seas = doy_clim(ts, gidx, pctile)
+    if patch_feb29:
+        thresh = feb29_patch(thresh)
+        seas = feb29_patch(seas)
+    if smooth:
+        thresh = runavg_circular(thresh, smooth_w)
+        seas = runavg_circular(seas, smooth_w)
+    return thresh, seas

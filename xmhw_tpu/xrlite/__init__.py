@@ -1,0 +1,25 @@
+"""Lightweight labeled-array + NetCDF shell (xarray/cftime replacement)."""
+
+from .dataarray import Coord, DataArray, Dataset, unstack_cell
+from .netcdf import open_dataset, save_dataset
+from .timeutils import (
+    TimeIndex,
+    calendar_ndays,
+    decode_cf_time,
+    encode_cf_time,
+    normalize_calendar,
+)
+
+__all__ = [
+    "Coord",
+    "DataArray",
+    "Dataset",
+    "TimeIndex",
+    "calendar_ndays",
+    "decode_cf_time",
+    "encode_cf_time",
+    "normalize_calendar",
+    "open_dataset",
+    "save_dataset",
+    "unstack_cell",
+]

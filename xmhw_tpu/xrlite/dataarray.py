@@ -1,0 +1,453 @@
+"""Lightweight labeled arrays: the I/O shell of the TPU framework.
+
+The reference is built on xarray Datasets (reference: xmhw/xmhw.py:19,
+README.rst:16-21) — but xarray/dask are deliberately *not* dependencies
+here. The compute core works on dense JAX arrays; this module provides just
+enough labeled-array structure to round-trip dims/coords/attrs and NetCDF
+files, so a user of the reference finds the same user-facing surface:
+
+* ``DataArray``: numpy-backed data + named dims + coords + attrs
+* ``Dataset``: mapping of variables sharing coords, plus global attrs
+* ``.sel``/``.isel``/``.stack``/``.unstack``/``.dropna`` analogues used by
+  the pipeline (reference land_check/unstack: identify.py:482-529,
+  xmhw.py:210-214)
+* NetCDF4(HDF5) I/O lives in :mod:`xmhw_tpu.xrlite.netcdf`.
+
+Design note: this layer is intentionally host-side numpy only. Anything
+performance-critical happens in :mod:`xmhw_tpu.core` on device; keeping the
+shell dumb means the XLA program never sees ragged/labelled structure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .timeutils import TimeIndex
+
+
+def _asarray(values):
+    if isinstance(values, TimeIndex):
+        return values
+    return np.asarray(values)
+
+
+class Coord:
+    """A coordinate variable: values along one (or zero) dims + attrs."""
+
+    __slots__ = ("dims", "values", "attrs")
+
+    def __init__(self, dims, values, attrs=None):
+        self.dims = tuple(dims)
+        self.values = _asarray(values)
+        self.attrs = dict(attrs or {})
+
+    def copy(self):
+        return Coord(self.dims, self.values, dict(self.attrs))
+
+    def __len__(self):
+        return len(self.values)
+
+    def __repr__(self):
+        return f"Coord(dims={self.dims}, shape={np.shape(self.values)})"
+
+
+def _coord_values(c):
+    v = c.values
+    return v.values if isinstance(v, TimeIndex) else v
+
+
+class DataArray:
+    """N-dimensional labeled array (numpy-backed host shell)."""
+
+    def __init__(self, data, dims, coords=None, attrs=None, name=None):
+        self.data = _asarray(data)
+        self.dims = tuple(dims)
+        if np.ndim(self.data) != len(self.dims):
+            raise ValueError(
+                f"data ndim {np.ndim(self.data)} != len(dims) {self.dims}"
+            )
+        self.coords: dict[str, Coord] = {}
+        for k, v in (coords or {}).items():
+            if isinstance(v, Coord):
+                self.coords[k] = v.copy()
+            elif isinstance(v, tuple) and len(v) in (2, 3):
+                self.coords[k] = Coord(*v)
+            else:
+                # scalar or 1-D coord named after its dim
+                arr = _asarray(v)
+                cdims = (k,) if (np.ndim(arr) == 1 and k in self.dims) else ()
+                if np.ndim(arr) == 1 and k not in self.dims and len(arr) == 1:
+                    arr = arr[0] if not isinstance(arr, TimeIndex) else arr
+                self.coords[k] = Coord(cdims, arr)
+        self.attrs = dict(attrs or {})
+        self.name = name
+
+    # -- basic introspection ------------------------------------------------
+    @property
+    def shape(self):
+        return np.shape(self.data)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def ndim(self):
+        return len(self.dims)
+
+    @property
+    def sizes(self):
+        return dict(zip(self.dims, self.shape))
+
+    @property
+    def values(self):
+        return self.data
+
+    def __len__(self):
+        return self.shape[0]
+
+    def __repr__(self):
+        coords = ", ".join(
+            f"{k}{list(c.dims)}" for k, c in self.coords.items()
+        )
+        return (
+            f"<xmhw_tpu.DataArray {self.name or ''}{dict(self.sizes)} "
+            f"coords: {coords}>"
+        )
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            c = self.coords[key]
+            return DataArray(
+                _coord_values(c) if isinstance(c.values, TimeIndex)
+                else c.values,
+                c.dims, attrs=c.attrs, name=key,
+            )
+        raise KeyError(key)
+
+    def get_index(self, dim):
+        """Return the coordinate values labeling ``dim``."""
+        c = self.coords.get(dim)
+        if c is None or c.dims != (dim,):
+            raise KeyError(f"no index for dim {dim!r}")
+        return c.values
+
+    def copy(self, data=None):
+        return DataArray(
+            self.data if data is None else data,
+            self.dims,
+            {k: c.copy() for k, c in self.coords.items()},
+            dict(self.attrs),
+            self.name,
+        )
+
+    # -- arithmetic (used for coldSpells negation) ---------------------------
+    def __neg__(self):
+        return self.copy(data=-self.data)
+
+    def __mul__(self, other):
+        return self.copy(data=self.data * other)
+
+    __rmul__ = __mul__
+
+    # -- selection ------------------------------------------------------------
+    def isel(self, **indexers):
+        """Integer-position selection along named dims."""
+        sl = [slice(None)] * self.ndim
+        for dim, idx in indexers.items():
+            sl[self.dims.index(dim)] = idx
+        data = self.data[tuple(sl)]
+        new_dims = []
+        for d, s in zip(self.dims, (sl[i] for i in range(self.ndim))):
+            if isinstance(s, (int, np.integer)):
+                continue
+            new_dims.append(d)
+        coords = {}
+        for k, c in self.coords.items():
+            if not c.dims:
+                coords[k] = c.copy()
+                continue
+            csl = []
+            drop = False
+            for d in c.dims:
+                s = indexers.get(d, slice(None))
+                csl.append(s)
+                if isinstance(s, (int, np.integer)):
+                    drop = True
+            vals = c.values[tuple(csl)] if len(csl) > 1 else c.values[csl[0]]
+            cdims = tuple(d for d, s in zip(c.dims, csl)
+                          if not isinstance(s, (int, np.integer)))
+            coords[k] = Coord(cdims, vals, c.attrs)
+            del drop
+        return DataArray(data, new_dims, coords, dict(self.attrs), self.name)
+
+    def sel(self, **indexers):
+        """Label-based selection (exact values or slices)."""
+        iidx = {}
+        for dim, label in indexers.items():
+            vals = _coord_values(self.coords[dim])
+            if isinstance(label, slice):
+                start, stop = label.start, label.stop
+                if np.issubdtype(np.asarray(vals).dtype, np.datetime64):
+                    start = None if start is None else np.datetime64(start)
+                    if stop is not None:
+                        # like xarray, a partial date string selects through
+                        # the END of that period ("2003-01" -> 31 Jan 23:59)
+                        stop64 = np.datetime64(stop)
+                        stop = (stop64 + 1).astype("datetime64[ns]")
+                lo = 0 if start is None else int(
+                    np.searchsorted(vals, start, side="left"))
+                hi = len(vals) if stop is None else int(
+                    np.searchsorted(vals, stop, side="left"))
+                iidx[dim] = slice(lo, hi)
+            else:
+                if np.issubdtype(np.asarray(vals).dtype, np.datetime64):
+                    label = np.datetime64(label)
+                matches = np.nonzero(vals == label)[0]
+                if len(matches) == 0:
+                    raise KeyError(f"{label!r} not found in {dim!r}")
+                iidx[dim] = int(matches[0])
+        return self.isel(**iidx)
+
+    # -- reshaping -------------------------------------------------------------
+    def transpose(self, *order):
+        perm = [self.dims.index(d) for d in order]
+        return DataArray(
+            np.transpose(self.data, perm), order,
+            {k: c.copy() for k, c in self.coords.items()},
+            dict(self.attrs), self.name,
+        )
+
+    def stack_cell(self, dims, name="cell"):
+        """Stack ``dims`` (sorted) into a trailing flat dim ``name``.
+
+        Equivalent to the reference's
+        ``temp.stack(cell=(sorted(dims)), create_index=False)``
+        (reference: identify.py:520): component coords become 1-D arrays
+        along the new dim; no MultiIndex is created.
+        """
+        dims = sorted(dims)
+        keep = [d for d in self.dims if d not in dims]
+        order = keep + dims
+        arr = np.transpose(
+            self.data, [self.dims.index(d) for d in order]
+        )
+        lead = arr.shape[: len(keep)]
+        cell_shape = arr.shape[len(keep):]
+        ncell = int(np.prod(cell_shape)) if cell_shape else 1
+        data = arr.reshape(lead + (ncell,))
+        # broadcast component coord values over the flattened cells
+        mesh = np.meshgrid(
+            *[_coord_values(self.coords[d]) for d in dims], indexing="ij"
+        )
+        coords = {}
+        for k, c in self.coords.items():
+            if not set(c.dims) & set(dims):
+                coords[k] = c.copy()
+        for d, m in zip(dims, mesh):
+            coords[d] = Coord((name,), m.reshape(-1),
+                              self.coords[d].attrs if d in self.coords else {})
+        return DataArray(data, keep + [name], coords, dict(self.attrs),
+                         self.name)
+
+    def dropna_cell(self, dim, along, how="all"):
+        """Drop slices of ``dim`` that are all/any-NaN along ``along``.
+
+        Mirrors the land-mask drop in the reference's land_check
+        (reference: identify.py:522-525).
+        """
+        ax_along = self.dims.index(along)
+        nan = np.isnan(self.data)
+        reduced = nan.all(axis=ax_along) if how == "all" else nan.any(
+            axis=ax_along)
+        # reduced has dims without `along`; find the axis of `dim` there
+        rdims = [d for d in self.dims if d != along]
+        keep = ~reduced
+        for i, d in enumerate(rdims):
+            if d != dim:
+                keep = keep.any(axis=i if i < rdims.index(dim) else i)
+        keep_idx = np.nonzero(np.atleast_1d(keep))[0]
+        return self.isel(**{dim: keep_idx})
+
+    # -- NaN handling -----------------------------------------------------------
+    def interpolate_na(self, dim, max_gap=None):
+        """Linearly fill NaN runs along ``dim``.
+
+        Only runs of length <= ``max_gap`` (in steps) are filled, matching
+        the documented intent of the reference's maxPadLength option
+        (reference: xmhw.py:74-78, 159-160).
+        """
+        ax = self.dims.index(dim)
+        arr = np.moveaxis(np.array(self.data, dtype=np.float64, copy=True),
+                          ax, 0)
+        flat = arr.reshape(arr.shape[0], -1)
+        n = flat.shape[0]
+        idx = np.arange(n)
+        for j in range(flat.shape[1]):
+            col = flat[:, j]
+            bad = np.isnan(col)
+            if not bad.any() or bad.all():
+                continue
+            good = ~bad
+            filled = np.interp(idx, idx[good], col[good])
+            if max_gap is not None:
+                # compute NaN-run lengths; only fill short interior runs
+                runlen = np.zeros(n, dtype=int)
+                count = 0
+                for i in range(n):
+                    count = count + 1 if bad[i] else 0
+                    runlen[i] = count
+                for i in range(n - 2, -1, -1):
+                    if bad[i] and bad[i + 1]:
+                        runlen[i] = runlen[i + 1]
+                fill_ok = bad & (runlen <= max_gap)
+                # never extrapolate beyond first/last valid point
+                first, last = idx[good][0], idx[good][-1]
+                fill_ok &= (idx > first) & (idx < last)
+                col = np.where(fill_ok, filled, col)
+            else:
+                first, last = idx[good][0], idx[good][-1]
+                inner = (idx > first) & (idx < last)
+                col = np.where(bad & inner, filled, col)
+            flat[:, j] = col
+        out = np.moveaxis(flat.reshape(arr.shape), 0, ax)
+        return self.copy(data=out.astype(self.data.dtype, copy=False))
+
+
+class Dataset:
+    """A mapping of DataArrays sharing coords, with global attrs."""
+
+    def __init__(self, data_vars=None, coords=None, attrs=None):
+        self.data_vars: dict[str, DataArray] = {}
+        self.attrs = dict(attrs or {})
+        self._coords: dict[str, Coord] = {}
+        for k, v in (coords or {}).items():
+            self._coords[k] = v.copy() if isinstance(v, Coord) else Coord(
+                (k,), v)
+        for k, v in (data_vars or {}).items():
+            self[k] = v
+
+    # -- mapping protocol -------------------------------------------------------
+    def __setitem__(self, key, da):
+        if not isinstance(da, DataArray):
+            raise TypeError("Dataset values must be DataArray")
+        da = da.copy()
+        da.name = key
+        self.data_vars[key] = da
+        for ck, c in da.coords.items():
+            self._coords.setdefault(ck, c.copy())
+
+    def __getitem__(self, key):
+        if key in self.data_vars:
+            return self.data_vars[key]
+        if key in self._coords:
+            c = self._coords[key]
+            return DataArray(_coord_values(c), c.dims, attrs=c.attrs,
+                             name=key)
+        raise KeyError(key)
+
+    def __contains__(self, key):
+        return key in self.data_vars or key in self._coords
+
+    def __iter__(self):
+        return iter(self.data_vars)
+
+    def keys(self):
+        return self.data_vars.keys()
+
+    def items(self):
+        return self.data_vars.items()
+
+    def __getattr__(self, name):
+        try:
+            return self.__getitem__(name)
+        except KeyError:
+            raise AttributeError(name)
+
+    @property
+    def coords(self):
+        return self._coords
+
+    @property
+    def dims(self):
+        sizes = {}
+        for da in self.data_vars.values():
+            sizes.update(da.sizes)
+        return sizes
+
+    def __repr__(self):
+        lines = [f"<xmhw_tpu.Dataset dims={self.dims}>"]
+        for k, v in self.data_vars.items():
+            lines.append(f"  {k} {v.dims} {v.shape}")
+        return "\n".join(lines)
+
+    def copy(self):
+        ds = Dataset(attrs=dict(self.attrs))
+        ds._coords = {k: c.copy() for k, c in self._coords.items()}
+        for k, v in self.data_vars.items():
+            ds.data_vars[k] = v.copy()
+        return ds
+
+    def sel(self, **indexers):
+        ds = Dataset(attrs=dict(self.attrs))
+        for k, v in self.data_vars.items():
+            applicable = {d: s for d, s in indexers.items() if d in v.dims}
+            ds[k] = v.sel(**applicable) if applicable else v.copy()
+        return ds
+
+    def isel(self, **indexers):
+        ds = Dataset(attrs=dict(self.attrs))
+        for k, v in self.data_vars.items():
+            applicable = {d: s for d, s in indexers.items() if d in v.dims}
+            ds[k] = v.isel(**applicable) if applicable else v.copy()
+        return ds
+
+    def merge(self, other):
+        ds = self.copy()
+        for k, v in other.data_vars.items():
+            ds[k] = v
+        ds.attrs.update(other.attrs)
+        return ds
+
+    def to_netcdf(self, path, **kwargs):
+        from .netcdf import save_dataset
+
+        save_dataset(self, path, **kwargs)
+
+
+def unstack_cell(data, cell_coords, out_name_dims, fill=np.nan):
+    """Scatter a trailing flat ``cell`` axis back onto the label grid.
+
+    Parameters
+    ----------
+    data: np.ndarray (..., ncell)
+    cell_coords: dict dim -> 1-D label array per cell (len ncell)
+    out_name_dims: ordered list of dims to unstack into
+
+    Returns (full_array, {dim: unique_sorted_labels}) — equivalent to
+    xarray's ``unstack('cell')`` after a create_index=False stack
+    (reference: xmhw.py:213-214 via set_xindex + unstack).
+    """
+    uniques = {}
+    pos = {}
+    for d in out_name_dims:
+        labels = np.asarray(cell_coords[d])
+        u, inv = np.unique(labels, return_inverse=True)
+        uniques[d] = u
+        pos[d] = inv
+    grid_shape = tuple(len(uniques[d]) for d in out_name_dims)
+    lead = data.shape[:-1]
+    if np.issubdtype(data.dtype, np.datetime64):
+        out = np.full(lead + grid_shape, np.datetime64("NaT"),
+                      dtype=data.dtype)
+    elif np.issubdtype(data.dtype, np.floating):
+        out = np.full(lead + grid_shape, fill, dtype=data.dtype)
+    else:
+        out = np.full(lead + grid_shape, fill,
+                      dtype=np.result_type(data.dtype, np.float64))
+    flat_pos = np.ravel_multi_index(
+        tuple(pos[d] for d in out_name_dims), grid_shape
+    )
+    out_flat = out.reshape(lead + (int(np.prod(grid_shape)),))
+    out_flat[..., flat_pos] = data
+    return out_flat.reshape(lead + grid_shape), uniques
