@@ -1,0 +1,92 @@
+"""Calendar / doy tests (mirrors reference add_doy & get_calendar coverage,
+reference: test/test_identify.py:38-54, 197-215)."""
+
+import numpy as np
+import pytest
+
+import xmhw_tpu as xm
+from xmhw_tpu.core.calendar import compute_doy, get_calendar
+from xmhw_tpu.exception import XmhwException
+from xmhw_tpu.xrlite import TimeIndex, decode_cf_time
+
+
+def test_doy366_oisst(oisst_ts, oisst_doy):
+    t = oisst_ts.coords["time"].values
+    doy, ndoy = compute_doy(t)
+    assert ndoy == 366
+    np.testing.assert_array_equal(doy, oisst_doy)
+
+
+def test_doy_tstep_5day(oisst_ts):
+    # 5-day averages, 'trim' boundary: 146 steps = 2 x 73
+    t = oisst_ts.coords["time"].values
+    sub_vals = t.values[2::5][:146]
+    doy, ndoy = compute_doy(TimeIndex(sub_vals), keep_tstep=True)
+    assert ndoy == 73
+    np.testing.assert_array_equal(
+        doy, np.concatenate([np.arange(1, 74), np.arange(1, 74)]))
+
+
+def test_doy_tstep_monthly(oisst_ts):
+    months = np.arange("2003-01", "2005-01", dtype="datetime64[M]")
+    doy, ndoy = compute_doy(TimeIndex(months.astype("datetime64[ns]")),
+                            keep_tstep=True)
+    assert ndoy == 12
+    np.testing.assert_array_equal(
+        doy, np.concatenate([np.arange(1, 13), np.arange(1, 13)]))
+
+
+def test_doy_tstep_incomplete_year_raises():
+    t = np.arange("2003-01-01", "2004-06-01", dtype="datetime64[D]")
+    with pytest.raises(XmhwException):
+        compute_doy(TimeIndex(t.astype("datetime64[ns]")), keep_tstep=True)
+
+
+def test_get_calendar_all_calendars():
+    """All 8 CF calendars map to their days/year
+    (reference: xmhw_fixtures.py:335-368)."""
+    expected = {
+        "noleap": 365, "all_leap": 366, "365_day": 365, "366_day": 366,
+        "360_day": 360, "gregorian": 365.25, "standard": 365.25,
+        "julian": 365.25, "proleptic_gregorian": 365.25,
+    }
+    for cal, nd in expected.items():
+        t = decode_cf_time(np.arange(6), "days since 2000-01-01", cal)
+        assert get_calendar(t) == nd, cal
+
+
+def test_get_calendar_normalization():
+    for raw, nd in (("360", 360), ("365", 365), ("366", 366),
+                    ("leap", 365.25)):
+        t = TimeIndex(np.arange(3), calendar=raw,
+                      units="days since 2000-01-01")
+        t.attrs["calendar"] = raw
+        assert get_calendar(t) == nd
+
+
+def test_synthetic_calendar_decode():
+    t = decode_cf_time(np.arange(0, 730), "days since 2001-01-01",
+                       "noleap")
+    assert t.year[0] == 2001 and t.year[-1] == 2002
+    assert t.dayofyear[0] == 1 and t.dayofyear[364] == 365
+    assert t.dayofyear[365] == 1
+    t360 = decode_cf_time(np.arange(0, 720), "days since 2001-01-01",
+                          "360_day")
+    assert (np.bincount(t360.month)[1:] == 60).all()  # 12 x 30-day months
+
+
+def test_360day_forces_tstep(oisst_ts):
+    """threshold() must force tstep=True for 360-day calendars
+    (reference: xmhw.py:143-144)."""
+    rng = np.random.default_rng(7)
+    vals = rng.normal(15.0, 2.0, (720, 2, 2))
+    t360 = decode_cf_time(np.arange(720), "days since 2001-01-01",
+                          "360_day")
+    from xmhw_tpu.xrlite import Coord, DataArray
+    da = DataArray(
+        vals, ("time", "lat", "lon"),
+        {"time": Coord(("time",), t360),
+         "lat": Coord(("lat",), [0.0, 1.0]),
+         "lon": Coord(("lon",), [0.0, 1.0])})
+    clim = xm.threshold(da, dtype=np.float64)
+    assert clim["thresh"].sizes["doy"] == 360

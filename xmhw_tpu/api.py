@@ -1,0 +1,389 @@
+"""Public API: threshold() and detect() with reference-compatible surface.
+
+Signatures, parameter names, defaults, validation errors, output variables
+and attributes match the reference (threshold: xmhw/xmhw.py:38-51,
+detect: xmhw/xmhw.py:310-323). The mechanism is entirely different:
+instead of a per-cell dask.delayed graph over xarray/pandas objects, all
+cells are processed as dense (time, cell) JAX arrays in jit-compiled
+blocks, optionally sharded over a TPU mesh (see xmhw_tpu.core.pipeline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .annotate import annotate_ds, detect_params_attr, threshold_params_attr
+from .core.calendar import build_window_index, compute_doy, get_calendar
+from .core.pipeline import run_clim, run_detect
+from .exception import XmhwException
+from .xrlite import Coord, DataArray, Dataset, TimeIndex, unstack_cell
+
+__all__ = ["threshold", "detect", "land_check"]
+
+
+def land_check(temp, tdim="time", anynans=False):
+    """Stack all non-time dims into 'cell' and drop land (NaN) cells.
+
+    Reference: xmhw/identify.py:482-529. Raises on time-only input, on a
+    zero-length dim, and when every cell is land.
+    """
+    dims = [d for d in temp.dims if d != tdim]
+    if tdim not in temp.dims:
+        raise XmhwException(f"{tdim} dimension not present")
+    if len(dims) == 0:
+        raise XmhwException(
+            "Series has only time dimension use point=True option, exiting")
+    for d in dims:
+        if temp.sizes[d] == 0:
+            raise XmhwException(f"Dimension {d} has 0 lenght, exiting")
+    ts = temp.stack_cell(dims, "cell")
+    # drop cells that are all-NaN (or any-NaN) along the time axis
+    data = ts.data
+    tax = ts.dims.index(tdim)
+    nan = np.isnan(data)
+    drop = nan.all(axis=tax) if not anynans else nan.any(axis=tax)
+    keep = np.nonzero(~drop)[0]
+    if keep.size == 0:
+        raise XmhwException("All points of grid are either land or NaN")
+    return ts.isel(cell=keep)
+
+
+def _time_index(da, tdim) -> TimeIndex:
+    coord = da.coords.get(tdim)
+    if coord is None:
+        raise XmhwException(f"{tdim} coordinate missing")
+    vals = coord.values
+    if isinstance(vals, TimeIndex):
+        return vals
+    vals = np.asarray(vals)
+    if np.issubdtype(vals.dtype, np.datetime64):
+        t = TimeIndex(vals.astype("datetime64[ns]"))
+        t.attrs = dict(coord.attrs)
+        return t
+    raise XmhwException(
+        f"{tdim} coordinate must be datetime-like or a TimeIndex")
+
+
+def _cell_coords(ts):
+    """Component coords labeling the stacked cell axis."""
+    return {
+        k: np.asarray(c.values)
+        for k, c in ts.coords.items()
+        if c.dims == ("cell",)
+    }
+
+
+def _scalar_coords(da, tdim):
+    out = {}
+    for k, c in da.coords.items():
+        if c.dims == () and k not in (tdim, "doy"):
+            out[k] = c.values
+    return out
+
+
+def threshold(
+    temp,
+    tdim="time",
+    climatologyPeriod=[None, None],
+    pctile=90,
+    windowHalfWidth=5,
+    smoothPercentile=True,
+    smoothPercentileWidth=31,
+    maxPadLength=None,
+    coldSpells=False,
+    tstep=False,
+    anynans=False,
+    skipna=False,
+    dtype=None,
+    cell_block=None,
+    mesh=None,
+):
+    """Calculate the day-of-year threshold and mean climatology.
+
+    Reference-compatible API (xmhw/xmhw.py:38-247). Notes on semantics:
+
+    * NaN values never enter the percentile pool regardless of ``skipna``
+      (the reference's window_roll drops NaNs before the groupby —
+      identify.py:208 — so ``skipna`` only toggled an internal code path
+      there). The argument is accepted for compatibility.
+    * TPU-extras: ``dtype`` (default float32; use float64 on CPU for exact
+      reference parity), ``cell_block`` (cells per device step), ``mesh``
+      (jax.sharding.Mesh to shard cells over).
+    """
+    if smoothPercentileWidth % 2 == 0:
+        raise XmhwException("smoothPercentileWidth should be odd")
+    if tdim not in temp.dims:
+        raise XmhwException(
+            f"{tdim} dimension not present, default"
+            + "is 'time' or pass as tdim='time_dimension_name'"
+        )
+    if all(climatologyPeriod):
+        temp = temp.sel(**{tdim: slice(f"{climatologyPeriod[0]}-01-01",
+                                       f"{climatologyPeriod[1]}-12-31")})
+    point = len(temp.dims) == 1
+    ds_attrs = {"ts": dict(temp.attrs)}
+    for c in temp.dims:
+        if c in temp.coords:
+            ds_attrs[c] = dict(temp.coords[c].attrs)
+
+    ts = temp if point else land_check(temp, tdim=tdim, anynans=anynans)
+    tindex = _time_index(ts, tdim)
+    year_days = get_calendar(tindex)
+    if year_days == 360.0:
+        tstep = True
+    doy, ndoy = compute_doy(tindex, keep_tstep=tstep)
+
+    if maxPadLength:
+        ts = ts.interpolate_na(dim=tdim, max_gap=maxPadLength)
+
+    data = np.asarray(ts.data, dtype=dtype or np.float32)
+    if point:
+        data = data[:, None]
+    if coldSpells:
+        data = -data
+
+    gidx, _ = build_window_index(doy, windowHalfWidth, ndoy)
+    thresh, seas = run_clim(
+        data, gidx, pctile=pctile, smooth=smoothPercentile,
+        smooth_w=smoothPercentileWidth, patch_feb29=not tstep,
+        block=cell_block, mesh=mesh,
+    )
+
+    doy_coord = Coord(("doy",), np.arange(1, ndoy + 1))
+    q_coord = Coord((), np.float64(pctile / 100.0))
+    ds = Dataset()
+    if point:
+        scal = {k: Coord((), v) for k, v in _scalar_coords(ts, tdim).items()}
+        ds["thresh"] = DataArray(
+            thresh[:, 0], ("doy",),
+            {"doy": doy_coord, "quantile": q_coord, **scal})
+        ds["seas"] = DataArray(seas[:, 0], ("doy",),
+                               {"doy": doy_coord, **scal})
+    else:
+        cell_coords = _cell_coords(ts)
+        grid_dims = sorted(cell_coords)
+        th_full, uniques = unstack_cell(thresh, cell_coords, grid_dims)
+        se_full, _ = unstack_cell(seas, cell_coords, grid_dims)
+        coords = {"doy": doy_coord}
+        for d in grid_dims:
+            coords[d] = Coord((d,), uniques[d],
+                              ds_attrs.get(d, {}))
+        ds["thresh"] = DataArray(th_full, ("doy", *grid_dims),
+                                 {**coords, "quantile": q_coord})
+        ds["seas"] = DataArray(se_full, ("doy", *grid_dims), coords)
+
+    ds = annotate_ds(ds, ds_attrs, "clim")
+    ds.attrs["xmhw_parameters"] = threshold_params_attr(
+        pctile, tindex.year[0], tindex.year[-1], windowHalfWidth, skipna,
+        smoothPercentile, smoothPercentileWidth, anynans)
+    return ds
+
+
+def _align_clim_cells(clim_da, ts_cell_coords, n_cells, name):
+    """Reindex a stacked climatology onto the ts cell order.
+
+    The reference assumes land_check produces identical cell sets for ts
+    and th/se (xmhw.py:399-402); here cells are matched explicitly by their
+    coordinate labels, raising when a ts cell is missing from the
+    climatology.
+    """
+    clim_coords = _cell_coords(clim_da)
+    keys = sorted(ts_cell_coords)
+    if sorted(clim_coords) != keys:
+        raise XmhwException(
+            f"{name} cell coordinates {sorted(clim_coords)} do not match "
+            f"the timeseries {keys}")
+
+    def _key(coords, i):
+        return tuple(np.asarray(coords[k])[i].item() for k in keys)
+
+    pos = {_key(clim_coords, i): i
+           for i in range(clim_da.sizes["cell"])}
+    idx = np.empty(n_cells, np.int64)
+    for i in range(n_cells):
+        k = _key(ts_cell_coords, i)
+        if k not in pos:
+            raise XmhwException(
+                f"No climatology for cell {dict(zip(keys, k))}")
+        idx[i] = pos[k]
+    return clim_da.isel(cell=idx)
+
+
+def detect(
+    temp,
+    th,
+    se,
+    tdim="time",
+    minDuration=5,
+    joinGaps=True,
+    maxGap=2,
+    maxPadLength=None,
+    coldSpells=False,
+    intermediate=False,
+    anynans=False,
+    tstep=False,
+    dtype=None,
+    cell_block=None,
+    mesh=None,
+):
+    """Apply the Hobday et al. (2016) MHW definition; return event dataset.
+
+    Reference-compatible API (xmhw/xmhw.py:310-518). Returns the event
+    Dataset (dims: events [x lat x lon ...]); with ``intermediate=True``
+    also returns the per-day intermediate Dataset.
+    """
+    if maxGap >= minDuration:
+        raise XmhwException(
+            "Maximum gap between mhw events should"
+            + " be smaller than event minimum duration"
+        )
+    point = len(temp.dims) == 1
+    ds_attrs = {"ts": dict(temp.attrs)}
+    for c in temp.coords:
+        ds_attrs[c] = dict(temp.coords[c].attrs)
+
+    if point:
+        ts, thc, sec = temp, th, se
+    else:
+        ts = land_check(temp, tdim=tdim, anynans=anynans)
+        thc = land_check(th, tdim="doy", anynans=anynans)
+        sec = land_check(se, tdim="doy", anynans=anynans)
+        cell_coords = _cell_coords(ts)
+        ncell = ts.sizes["cell"]
+        thc = _align_clim_cells(thc, cell_coords, ncell, "thresh")
+        sec = _align_clim_cells(sec, cell_coords, ncell, "seas")
+
+    tindex = _time_index(ts, tdim)
+    doy, _ = compute_doy(tindex, keep_tstep=tstep)
+
+    if maxPadLength:
+        ts = ts.interpolate_na(dim=tdim, max_gap=maxPadLength)
+
+    dt = dtype or np.float32
+    data = np.asarray(ts.data, dtype=dt)
+    th_data = np.asarray(thc.data, dtype=dt)
+    se_data = np.asarray(sec.data, dtype=dt)
+    if point:
+        data, th_data, se_data = (x[:, None] for x in
+                                  (data, th_data, se_data))
+    if coldSpells:
+        data = -data
+
+    # map each timestep's doy onto the climatology's doy rows
+    th_doys = np.asarray(thc.get_index("doy") if "doy" in thc.coords
+                         else np.arange(1, th_data.shape[0] + 1))
+    pos = np.searchsorted(th_doys, doy)
+    if (pos >= len(th_doys)).any() or (th_doys[np.clip(pos, 0,
+                                       len(th_doys) - 1)] != doy).any():
+        raise XmhwException(
+            "Climatology doy axis does not cover the timeseries doys")
+    doy_pos = pos.astype(np.int32)
+
+    tables, n_events, inter = run_detect(
+        data, th_data, se_data, doy_pos, min_duration=minDuration,
+        join_gaps=joinGaps, max_gap=maxGap, intermediate=intermediate,
+        block=cell_block, mesh=mesh,
+    )
+
+    time_vals = tindex.values
+    mhw = _assemble_events(tables, time_vals, point, ts, tdim, ds_attrs)
+    if coldSpells:
+        mhw = flip_cold(mhw)
+    mhw = annotate_ds(mhw, ds_attrs, "mhw")
+    mhw.attrs["xmhw_parameters"] = detect_params_attr(
+        minDuration, joinGaps, maxGap, coldSpells, maxPadLength, anynans)
+    if intermediate:
+        mhw_inter = _assemble_inter(inter, time_vals, point, ts, tdim)
+        return mhw, mhw_inter
+    return mhw
+
+
+def _assemble_events(tables, time_vals, point, ts, tdim, ds_attrs):
+    """Build the events Dataset: union of per-cell event labels.
+
+    The reference's events dimension is the union of start indexes across
+    cells, NaN elsewhere (docs/gettingstarted.rst:76-114); here the dense
+    (K, cell) device tables are scattered onto that union, then the cell
+    axis is unstacked back onto the label grid (xmhw.py:465-470).
+    """
+    labels = tables["event"]  # (K, C)
+    valid = np.isfinite(labels)
+    if valid.any():
+        union = np.unique(labels[valid]).astype(np.int64)
+    else:
+        union = np.zeros(0, np.int64)
+    E = len(union)
+    K, C = labels.shape
+    rows = np.searchsorted(union, labels[valid].astype(np.int64))
+    cols = np.broadcast_to(np.arange(C), (K, C))[valid]
+
+    time_like = {"time_start", "time_end", "time_peak"}
+    ev_coord = Coord(("events",), union)
+    ds = Dataset()
+    per_var = {}
+    for name, tab in tables.items():
+        if name in time_like:
+            idx = tab[valid].astype(np.int64)
+            vals = np.where(idx >= 0, idx, 0)
+            v = time_vals[vals]
+            if np.issubdtype(np.asarray(time_vals).dtype, np.datetime64):
+                out = np.full((E, C), np.datetime64("NaT"), v.dtype)
+            else:
+                out = np.full((E, C), np.nan)
+            out[rows, cols] = np.where(idx >= 0, v, out[rows, cols])
+        else:
+            out = np.full((E, C), np.nan)
+            out[rows, cols] = tab[valid]
+        per_var[name] = out
+
+    if point:
+        for name, out in per_var.items():
+            ds[name] = DataArray(out[:, 0], ("events",),
+                                 {"events": ev_coord})
+        for k, v in _scalar_coords(ts, tdim).items():
+            ds[k] = DataArray(np.full(E, v), ("events",),
+                              {"events": ev_coord})
+    else:
+        cell_coords = _cell_coords(ts)
+        grid_dims = sorted(cell_coords)
+        uniques = None
+        for name, out in per_var.items():
+            full, uniques = unstack_cell(out, cell_coords, grid_dims)
+            coords = {"events": ev_coord}
+            for d in grid_dims:
+                coords[d] = Coord((d,), uniques[d], ds_attrs.get(d, {}))
+            ds[name] = DataArray(full, ("events", *grid_dims), coords)
+    return ds
+
+
+def _assemble_inter(inter, time_vals, point, ts, tdim):
+    """Per-day intermediate Dataset (reference: xmhw.py:471-478;
+    point-mode keeps the pandas 'index' dim name, grid mode uses time)."""
+    dimname = "index" if point else "time"
+    tcoord = Coord((dimname,), time_vals)
+    ds = Dataset()
+    if point:
+        for name, arr in inter.items():
+            ds[name] = DataArray(arr[:, 0], (dimname,), {dimname: tcoord})
+        for k, v in _scalar_coords(ts, tdim).items():
+            ds[k] = DataArray(np.full(len(time_vals), v), (dimname,),
+                              {dimname: tcoord})
+    else:
+        cell_coords = _cell_coords(ts)
+        grid_dims = sorted(cell_coords)
+        for name, arr in inter.items():
+            full, uniques = unstack_cell(arr, cell_coords, grid_dims)
+            coords = {dimname: tcoord}
+            for d in grid_dims:
+                coords[d] = Coord((d,), uniques[d])
+            ds[name] = DataArray(full, (dimname, *grid_dims), coords)
+    return ds
+
+
+def flip_cold(ds):
+    """Negate intensity variables for cold-spell output
+    (reference: xmhw/features.py:298-315)."""
+    for varname in list(ds.keys()):
+        if "intensity" in varname and "_var" not in varname:
+            ds[varname] = ds[varname] * -1
+    return ds

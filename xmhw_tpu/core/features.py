@@ -59,16 +59,18 @@ def _seg_min(x, slot, cols, K, C, neutral):
     static_argnames=("K", "min_duration", "join_gaps", "max_gap",
                      "intermediate"),
 )
-def detect_kernel(ts, thresh_t, seas_t, K, min_duration=5, join_gaps=True,
+def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
                   max_gap=2, intermediate=False):
     """Full detection pipeline for a (T, C) block: exceedance -> RLE ->
     gap joining -> per-event features.
 
     Parameters
     ----------
-    ts, thresh_t, seas_t: (T, C) float — SST and climatologies broadcast to
-        the time axis (th.sel(doy=ts.doy) in the reference,
+    ts: (T, C) float — SST per (time, cell)
+    th, se: (D, C) float — doy climatologies; broadcast to the time axis by
+        an on-device gather (th.sel(doy=ts.doy) in the reference,
         identify.py:367-368)
+    doy_pos: (T,) int32 — row of th/se for each timestep
     K: static int — event-table capacity per cell
 
     Returns
@@ -81,6 +83,8 @@ def detect_kernel(ts, thresh_t, seas_t, K, min_duration=5, join_gaps=True,
     dt = ts.dtype
     nan = jnp.asarray(jnp.nan, dt)
 
+    thresh_t = th[doy_pos]
+    seas_t = se[doy_pos]
     bthresh = ts > thresh_t
     f = mhw_filter(bthresh, min_duration=min_duration, join_gaps=join_gaps,
                    max_gap=max_gap)

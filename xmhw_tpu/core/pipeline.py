@@ -1,0 +1,163 @@
+"""Host <-> device orchestration: cell blocking, sharding, K selection.
+
+Replaces the reference's dask.delayed graph build + ``dask.compute``
+scheduler boundary (reference: xmhw/xmhw.py:182-197, 440-454) with a simple
+deterministic loop: cells are processed in fixed-size blocks (static shapes
+-> one XLA compilation), each block optionally sharded over a device mesh.
+Blocking bounds HBM use for planet-scale grids — the analogue of the
+reference's documented manual grid splitting (reference: docs/dask.rst:44-86)
+but automatic and without task-graph overhead.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import cell_mesh, cell_sharding, pad_cells, replicated
+from .clim import clim_kernel
+from .events import mhw_filter
+from .features import detect_kernel
+
+
+def _auto_block(T: int, Z: int, ndoy: int, n_dev: int,
+                budget_bytes: float = 2.5e9) -> int:
+    """Pick a cell-block size so the largest intermediate fits the budget.
+
+    The climatology gather tensor (ndoy, Z, B) and its sort buffer dominate
+    (~3 copies); the detect kernel holds ~30 (T, B) arrays.
+    """
+    per_cell = max(3 * ndoy * Z * 4, 40 * T * 4)
+    b = int(budget_bytes / max(per_cell, 1))
+    b = max(128, min(b, 1 << 16))
+    # round down to a power of two for stable compilation shapes
+    b = 1 << (b.bit_length() - 1)
+    return max(b, n_dev) if n_dev > 1 else b
+
+
+class CellRunner:
+    """Runs a jitted kernel over (time, cell) data in padded cell blocks."""
+
+    def __init__(self, n_cells: int, T: int, Z: int = 1, ndoy: int = 366,
+                 block: int | None = None, mesh=None, use_mesh: bool = True):
+        self.mesh = mesh
+        if mesh is None and use_mesh and len(jax.devices()) > 1:
+            self.mesh = cell_mesh()
+        n_dev = len(self.mesh.devices.flat) if self.mesh else 1
+        self.block = block or _auto_block(T, Z, ndoy, n_dev)
+        if self.mesh and self.block % n_dev:
+            self.block = -(-self.block // n_dev) * n_dev
+        self.block = min(self.block,
+                         max(n_dev, -(-n_cells // max(n_dev, 1)) *
+                             max(n_dev, 1)))
+        self.n_cells = n_cells
+
+    def device_block(self, arr_np: np.ndarray, lo: int) -> jax.Array:
+        """Slice cells [lo, lo+block), pad with NaN, ship to device(s)."""
+        blk = arr_np[..., lo:lo + self.block]
+        blk, _ = pad_cells(blk, self.block)
+        x = jnp.asarray(blk)
+        if self.mesh:
+            x = jax.device_put(x, cell_sharding(self.mesh, x.ndim))
+        return x
+
+    def device_replicated(self, arr_np: np.ndarray) -> jax.Array:
+        x = jnp.asarray(arr_np)
+        if self.mesh:
+            x = jax.device_put(x, replicated(self.mesh))
+        return x
+
+    def blocks(self):
+        return range(0, self.n_cells, self.block)
+
+
+def run_clim(ts_np: np.ndarray, gidx_np: np.ndarray, pctile: int,
+             smooth: bool, smooth_w: int, patch_feb29: bool,
+             block: int | None = None, mesh=None):
+    """Climatology for all cells: (T, C) -> (thresh, seas) as (ndoy, C).
+
+    TPU-native calc_clim (reference: xmhw/xmhw.py:250-307) over cell blocks.
+    """
+    T, C = ts_np.shape
+    ndoy, Z = gidx_np.shape
+    runner = CellRunner(C, T, Z, ndoy, block=block, mesh=mesh)
+    gidx = runner.device_replicated(gidx_np)
+    out_t = np.empty((ndoy, C), ts_np.dtype)
+    out_s = np.empty((ndoy, C), ts_np.dtype)
+    for lo in runner.blocks():
+        ts = runner.device_block(ts_np, lo)
+        th, se = clim_kernel(ts, gidx, pctile=pctile, smooth=smooth,
+                             smooth_w=smooth_w, patch_feb29=patch_feb29)
+        hi = min(lo + runner.block, C)
+        out_t[:, lo:hi] = np.asarray(th)[:, : hi - lo]
+        out_s[:, lo:hi] = np.asarray(se)[:, : hi - lo]
+    return out_t, out_s
+
+
+def _round_k(k: int) -> int:
+    """Round event capacity up to limit recompilation (32, then pow2)."""
+    k = max(k, 1)
+    if k <= 32:
+        return 32
+    return 1 << (k - 1).bit_length()
+
+
+def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
+               max_gap, intermediate=False, block=None, mesh=None,
+               k_cap=None):
+    """Detection for all cells: returns (tables dict of (K, C) numpy,
+    n_events (C,), inter dict of (T, C) numpy).
+
+    ``th_np``/``se_np`` are (D, C) doy climatologies; ``doy_pos_np`` (T,)
+    maps timesteps to climatology rows (broadcast happens on device).
+
+    Two device passes: a cheap counting pass fixes the event-table capacity
+    K for every block (single compilation), then the feature pass fills the
+    tables. Replaces the per-cell define_events fan-out
+    (reference: xmhw/xmhw.py:440-454, identify.py:328-412).
+    """
+    T, C = ts_np.shape
+    runner = CellRunner(C, T, block=block, mesh=mesh)
+    doy_pos = None
+
+    count = jax.jit(
+        lambda ts, th, pos: mhw_filter(
+            ts > th[pos], min_duration=min_duration, join_gaps=join_gaps,
+            max_gap=max_gap)["n_events"]
+    )
+    kmax = 0
+    for lo in runner.blocks():
+        ts = runner.device_block(ts_np, lo)
+        th = runner.device_block(th_np, lo)
+        if doy_pos is None:
+            doy_pos = runner.device_replicated(doy_pos_np)
+        n = count(ts, th, doy_pos)
+        kmax = max(kmax, int(jnp.max(n)))
+    K = _round_k(kmax if k_cap is None else min(kmax, k_cap))
+
+    tables = None
+    inter_out = {}
+    n_events = np.zeros(C, np.int32)
+    for lo in runner.blocks():
+        ts = runner.device_block(ts_np, lo)
+        th = runner.device_block(th_np, lo)
+        se = runner.device_block(se_np, lo)
+        tbl, nev, inter = detect_kernel(
+            ts, th, se, doy_pos, K=K, min_duration=min_duration,
+            join_gaps=join_gaps, max_gap=max_gap, intermediate=intermediate)
+        hi = min(lo + runner.block, C)
+        w = hi - lo
+        if tables is None:
+            tables = {k: np.empty((K, C),
+                                  np.asarray(v).dtype) for k, v in
+                      tbl.items()}
+            if intermediate:
+                inter_out = {k: np.empty((T, C), np.asarray(v).dtype)
+                             for k, v in inter.items()}
+        for k, v in tbl.items():
+            tables[k][:, lo:hi] = np.asarray(v)[:, :w]
+        n_events[lo:hi] = np.asarray(nev)[:w]
+        for k, v in inter.items():
+            inter_out[k][:, lo:hi] = np.asarray(v)[:, :w]
+    return tables, n_events, inter_out

@@ -1,0 +1,331 @@
+"""Statistics layer: block_average() and mhw_rank().
+
+Reference-compatible rebuild of xmhw/stats.py. The reference marks both as
+work-in-progress (README.rst:16-21) and ships several latent bugs; this
+implementation keeps the reference's semantics for everything that works,
+fixes the broken paths (documented inline), and computes everything as
+vectorized binned reductions over ALL cells at once instead of a per-cell
+dask loop (reference: stats.py:137-149).
+
+Fixes relative to the reference (kept behind sensible defaults):
+* ``intensity_mean_abs``/``intensity_cumulative_abs`` block stats aggregate
+  the *_abs event variables; the reference aggregates intensity_mean /
+  intensity_cumulative instead (copy-paste slip at stats.py:358-359). Pass
+  ``reference_quirks=True`` to reproduce the old behavior.
+* point-mode paths (undefined variables at stats.py:138,166,176) work.
+* ``mhw_rank`` derives the record length from the data instead of the
+  hard-coded ``14245/365.25`` (stats.py:477-478); pass ``nYears`` to
+  override. Ranking is per cell along the events axis, and NaN-padded
+  events receive NaN ranks instead of polluting the order.
+* ``split=True`` assigns events crossing a block boundary to the block
+  containing the majority of their days (the reference's stated intent at
+  stats.py:121-123; its split_event is a stub returning its input,
+  stats.py:439-443).
+* ``removeMissing=True`` masks block stats where the input ts has NaNs
+  (validated but never applied in the reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .exception import XmhwException
+from .xrlite import Coord, DataArray, Dataset, TimeIndex
+
+__all__ = ["block_average", "mhw_rank", "rank_variable"]
+
+# block stats: output name -> (event variable, reduction)
+# (reference aggregation dict: stats.py:343-362)
+_AGG_MHW = [
+    ("ecount", "event", "count"),
+    ("duration", "duration", "mean"),
+    ("intensity_max", "intensity_max", "mean"),
+    ("intensity_max_max", "intensity_max", "max"),
+    ("intensity_mean", "intensity_mean", "mean"),
+    ("intensity_cumulative", "intensity_cumulative", "mean"),
+    ("total_icum", "intensity_cumulative", "sum"),
+    ("intensity_mean_relThresh", "intensity_mean_relThresh", "mean"),
+    ("intensity_cumulative_relThresh", "intensity_cumulative_relThresh",
+     "mean"),
+    ("severity_mean", "severity_mean", "mean"),
+    ("severity_cumulative", "severity_cumulative", "mean"),
+    ("intensity_mean_abs", "intensity_mean_abs", "mean"),
+    ("intensity_cumulative_abs", "intensity_cumulative_abs", "mean"),
+    ("rate_onset", "rate_onset", "mean"),
+    ("rate_decline", "rate_decline", "mean"),
+]
+
+
+def _years_of(values):
+    vals = values.values if isinstance(values, TimeIndex) else values
+    vals = np.asarray(vals)
+    if np.issubdtype(vals.dtype, np.datetime64):
+        return TimeIndex(vals.reshape(-1)).year.reshape(vals.shape), \
+            ~np.isnat(vals)
+    return vals.astype(np.int64), np.isfinite(vals)
+
+
+def _binned_reduce(values, bin_idx, valid, nbins, how):
+    """Reduce ``values`` (N, C) into (nbins, C) by bin index per entry."""
+    N, C = values.shape
+    cols = np.broadcast_to(np.arange(C), (N, C))
+    fin = valid & np.isfinite(values)
+    b = np.where(fin, bin_idx, 0)
+    flat = b * C + cols
+    if how == "count":
+        out = np.bincount(flat[fin], minlength=nbins * C).astype(np.float64)
+        return out.reshape(nbins, C)
+    if how in ("mean", "sum"):
+        s = np.bincount(flat[fin], weights=values[fin],
+                        minlength=nbins * C).reshape(nbins, C)
+        n = np.bincount(flat[fin], minlength=nbins * C).reshape(nbins, C)
+        if how == "sum":
+            return np.where(n > 0, s, np.nan)
+        return np.where(n > 0, s / np.maximum(n, 1), np.nan)
+    if how in ("max", "min"):
+        out = np.full((nbins, C), np.nan)
+        op = np.maximum if how == "max" else np.minimum
+        sel = fin
+        np_op = getattr(np, "fmax" if how == "max" else "fmin")
+        np_ufunc_at = np_op.at
+        np_ufunc_at(out, (bin_idx[sel], cols[sel]), values[sel])
+        del op
+        return out
+    raise ValueError(how)
+
+
+def check_variables(dstime):
+    """Determine which per-day stats can be computed
+    (reference: stats.py:186-238)."""
+    sw_temp = True
+    sw_cats = False
+    if isinstance(dstime, DataArray):
+        name = dstime.name or "ts"
+        d = Dataset()
+        d["ts"] = dstime
+        dstime = d
+        variables = ["ts"]
+        del name
+    else:
+        dstime = dstime.copy()
+        variables = list(dstime.keys())
+        if len(variables) == 1:
+            dstime["ts"] = dstime[variables[0]]
+        elif "cats" in variables:
+            sw_cats = True
+        elif all(x in variables for x in ("ts", "thresh", "seas")):
+            sw_cats = True
+            ts = dstime["ts"].data
+            th = dstime["thresh"].data
+            se = dstime["seas"].data
+            cats = np.floor(1 + (ts - th) / (th - se))
+            dstime["cats"] = dstime["ts"].copy(data=cats)
+        if "ts" not in variables and len(variables) != 1:
+            sw_temp = False
+            print("Cannot identify temperature as it is not named 'ts'")
+    for v in list(dstime.keys()):
+        if v not in ("ts", "cats"):
+            del dstime.data_vars[v]
+    return dstime, sw_cats, sw_temp
+
+
+def _flatten_cells(da, lead_dim):
+    """(lead, *grid) -> (lead, C) plus grid metadata for unstacking."""
+    grid_dims = [d for d in da.dims if d != lead_dim]
+    arr = da.data
+    lead_ax = da.dims.index(lead_dim)
+    arr = np.moveaxis(arr, lead_ax, 0)
+    shape = arr.shape
+    return arr.reshape(shape[0], -1), grid_dims, shape[1:]
+
+
+def block_average(
+    mhw,
+    dstime=None,
+    period=None,
+    blockLength=1,
+    mtime="time_start",
+    removeMissing=False,
+    split=False,
+    reference_quirks=False,
+):
+    """Statistics on blocks of years (reference: stats.py:27-183).
+
+    Returns a Dataset with dims (years [, lat, lon ...]); the ``years``
+    coordinate holds the left edge of each block.
+    """
+    sw_temp = False
+    sw_cats = False
+    if dstime is not None:
+        dstime, sw_cats, sw_temp = check_variables(dstime)
+        tdim = "time" if "time" in dstime.coords else "index"
+        tvals = dstime.coords[tdim].values
+        tyears, _ = _years_of(tvals)
+        period = [int(tyears[0]), int(tyears[-1])]
+
+    if removeMissing and not sw_temp:
+        raise XmhwException(
+            "To remove missing values you need to pass "
+            "the original temperature timeseries")
+    if not period and not sw_temp:
+        raise XmhwException(
+            "As the original timeseries is not available, the"
+            " timeseries period as [start_year, end_year] has to be passed")
+
+    bins = np.arange(period[0], period[1] + blockLength + 1, blockLength)
+    nbins = len(bins) - 1
+    years_coord = Coord(("years",), bins[:-1].astype(np.int64),
+                        {"long_name": "start year of block",
+                         "block_length": blockLength})
+
+    # ---- event-table stats -------------------------------------------------
+    tvar = mhw[mtime]
+    ev_years, ev_valid = _years_of(tvar.data)
+    flat_years = ev_years.reshape(ev_years.shape[0], -1)
+    flat_valid = ev_valid.reshape(ev_valid.shape[0], -1)
+    if split:
+        # majority-block assignment for events crossing a boundary
+        y0, v0 = _years_of(mhw["time_start"].data)
+        y1, v1 = _years_of(mhw["time_end"].data)
+        mid = (y0 + y1) // 2
+        flat_years = np.where(
+            (v0 & v1).reshape(flat_valid.shape),
+            mid.reshape(flat_years.shape), flat_years)
+    bin_idx = np.searchsorted(bins, flat_years, side="right") - 1
+    in_range = (bin_idx >= 0) & (bin_idx < nbins)
+    bin_idx = np.clip(bin_idx, 0, nbins - 1)
+    flat_valid = flat_valid & in_range
+
+    grid_dims = [d for d in mhw[mtime].dims if d != "events"]
+    grid_shape = tuple(mhw[mtime].sizes[d] for d in grid_dims)
+
+    out = Dataset()
+    coords = {"years": years_coord}
+    for d in grid_dims:
+        coords[d] = mhw[mtime].coords[d]
+    for oname, vname, how in _AGG_MHW:
+        src = vname
+        if reference_quirks and oname in ("intensity_mean_abs",
+                                          "intensity_cumulative_abs"):
+            src = vname.replace("_abs", "")
+        vals = mhw[src].data.reshape(flat_years.shape).astype(np.float64)
+        red = _binned_reduce(vals, bin_idx, flat_valid, nbins, how)
+        out[oname] = DataArray(
+            red.reshape((nbins,) + grid_shape), ("years", *grid_dims),
+            coords)
+
+    # ---- per-day ts / category stats --------------------------------------
+    if sw_temp:
+        mode = "cats" if sw_cats else "ts"
+        ts_flat, ts_grid_dims, ts_grid_shape = _flatten_cells(
+            dstime["ts"], tdim)
+        dy_idx = np.searchsorted(bins, tyears, side="right") - 1
+        dy_ok = (dy_idx >= 0) & (dy_idx < nbins)
+        dy_idx2 = np.broadcast_to(
+            np.clip(dy_idx, 0, nbins - 1)[:, None], ts_flat.shape)
+        dy_ok2 = np.broadcast_to(dy_ok[:, None], ts_flat.shape)
+        tcoords = {"years": years_coord}
+        for d in ts_grid_dims:
+            tcoords[d] = dstime["ts"].coords[d]
+
+        def emit(name, arr):
+            out[name] = DataArray(
+                arr.reshape((nbins,) + tuple(ts_grid_shape)),
+                ("years", *ts_grid_dims), tcoords)
+
+        emit("ts_mean", _binned_reduce(ts_flat, dy_idx2, dy_ok2, nbins,
+                                       "mean"))
+        emit("ts_max", _binned_reduce(ts_flat, dy_idx2, dy_ok2, nbins,
+                                      "max"))
+        emit("ts_min", _binned_reduce(ts_flat, dy_idx2, dy_ok2, nbins,
+                                      "min"))
+        if mode == "cats":
+            cats_flat, _, _ = _flatten_cells(dstime["cats"], tdim)
+            total = None
+            for cat, cname in ((1, "moderate_days"), (2, "strong_days"),
+                               (3, "severe_days"), (4, "extreme_days")):
+                cnt = _binned_reduce(
+                    np.where(cats_flat == cat, 1.0, np.nan), dy_idx2,
+                    dy_ok2, nbins, "count")
+                emit(cname, cnt)
+                total = cnt if total is None else total + cnt
+            emit("total_days", total)
+        if removeMissing:
+            has_nan = _binned_reduce(
+                np.where(np.isnan(ts_flat), 1.0, np.nan), dy_idx2, dy_ok2,
+                nbins, "count") > 0
+            for name, da in out.items():
+                if da.dims[0] == "years" and name != "years":
+                    masked = np.where(
+                        has_nan.reshape((nbins,) + tuple(ts_grid_shape)),
+                        np.nan, da.data)
+                    out[name] = da.copy(data=masked)
+    return out
+
+
+def find_across(mhw):
+    """Boolean (events, cells) mask of events spanning a year boundary
+    (reference: stats.py:431-436)."""
+    y0, v0 = _years_of(mhw["time_start"].data)
+    y1, v1 = _years_of(mhw["time_end"].data)
+    return (y0 != y1) & v0 & v1
+
+
+def rank_variable(values, axis=0):
+    """Descending rank (1 = largest) along ``axis``; NaN -> NaN.
+
+    Matches the reference's double-argsort (stats.py:493-510) on finite
+    values.
+    """
+    values = np.asarray(values, dtype=np.float64)
+    values = np.moveaxis(values, axis, 0)
+    n = values.shape[0]
+    flat = values.reshape(n, -1)
+    out = np.full(flat.shape, np.nan)
+    for c in range(flat.shape[1]):
+        col = flat[:, c]
+        fin = np.isfinite(col)
+        m = int(fin.sum())
+        if m == 0:
+            continue
+        sub = col[fin]
+        out[fin, c] = m - sub.argsort().argsort()
+    return np.moveaxis(out.reshape(values.shape), 0, axis)
+
+
+def mhw_rank(mhwds, nYears=None):
+    """Rank each MHW property (1 = largest) and derive return periods.
+
+    Reference: stats.py:446-490. ``nYears`` defaults to the record length
+    derived from time_start/time_end instead of the reference's hard-coded
+    constant.
+    """
+    if nYears is None:
+        try:
+            y0, v0 = _years_of(mhwds["time_start"].data)
+            y1, v1 = _years_of(mhwds["time_end"].data)
+            t0 = np.asarray(mhwds["time_start"].data).reshape(-1)
+            t1 = np.asarray(mhwds["time_end"].data).reshape(-1)
+            if np.issubdtype(t0.dtype, np.datetime64):
+                span = (t1[~np.isnat(t1)].max()
+                        - t0[~np.isnat(t0)].min())
+                nYears = span / np.timedelta64(1, "D") / 365.25
+            else:
+                nYears = float(y1[v1].max() - y0[v0].min() + 1)
+        except Exception:
+            nYears = 14245 / 365.25  # reference fallback (stats.py:477-478)
+    rank = Dataset()
+    return_period = Dataset()
+    variables = [
+        k for k in mhwds.keys()
+        if not any(x in k for x in ("event", "time", "index"))
+    ]
+    for var in variables:
+        da = mhwds[var]
+        if "events" not in da.dims:
+            continue
+        ax = da.dims.index("events")
+        r = rank_variable(da.data, axis=ax)
+        rank[var] = da.copy(data=r)
+        return_period[var] = da.copy(data=(nYears + 1) / r)
+    return rank, return_period
