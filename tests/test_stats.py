@@ -1,0 +1,159 @@
+"""Stats layer tests (mirrors + extends reference test_stats.py, whose
+block_average test is an empty stub, reference: test/test_stats.py:34-35)."""
+
+import numpy as np
+import pytest
+
+import xmhw_tpu as xm
+from xmhw_tpu.exception import XmhwException
+from xmhw_tpu.stats_api import check_variables, rank_variable
+from xmhw_tpu.xrlite import Coord, DataArray, Dataset
+
+
+@pytest.fixture
+def mhw_oisst(oisst_ts):
+    clim = xm.threshold(oisst_ts, dtype=np.float64)
+    mhw, inter = xm.detect(oisst_ts, clim["thresh"], clim["seas"],
+                           intermediate=True, dtype=np.float64)
+    return mhw, inter
+
+
+def test_rank_variable_fixture():
+    """Reference rank fixture (xmhw_fixtures.py:371-383): int_max
+    [2.3,1.2,3.5,2.4,2.3] -> rank [4,5,1,2,3]."""
+    vals = np.array([2.3, 1.2, 3.5, 2.4, 2.3])
+    np.testing.assert_array_equal(rank_variable(vals), [4, 5, 1, 2, 3])
+
+
+def test_rank_variable_nan():
+    vals = np.array([2.3, np.nan, 3.5])
+    r = rank_variable(vals)
+    np.testing.assert_array_equal(r[[0, 2]], [2, 1])
+    assert np.isnan(r[1])
+
+
+def test_mhw_rank(mhw_oisst):
+    mhw, _ = mhw_oisst
+    rank, ret = xm.mhw_rank(mhw)
+    # ranks are 1..n per cell on finite entries
+    r = rank["intensity_max"].sel(lat=-42.625, lon=148.125).values
+    fin = np.isfinite(r)
+    np.testing.assert_array_equal(np.sort(r[fin]),
+                                  np.arange(1, fin.sum() + 1))
+    # return period = (nYears+1)/rank, monotone in rank
+    rp = ret["intensity_max"].sel(lat=-42.625, lon=148.125).values
+    assert np.nanmax(rp[fin]) == rp[fin][np.argmin(r[fin])]
+    # no time/index/event variables ranked
+    assert "time_start" not in rank
+    assert "index_start" not in rank
+    assert "event" not in rank
+
+
+def test_check_variables_paths(mhw_oisst):
+    _, inter = mhw_oisst
+    # full intermediate: ts + thresh + seas present -> cats computed
+    ds, sw_cats, sw_temp = check_variables(inter)
+    assert sw_cats and sw_temp
+    assert set(ds.keys()) == {"ts", "cats"}
+    # ts-only DataArray
+    ds2, c2, t2 = check_variables(inter["ts"])
+    assert not c2 and t2
+    assert set(ds2.keys()) == {"ts"}
+    # dataset without ts
+    nots = Dataset()
+    nots["cats"] = inter["ts"].copy()
+    nots["other"] = inter["ts"].copy()
+    ds3, c3, t3 = check_variables(nots)
+    assert c3 and not t3
+
+
+def test_block_average_events_only(mhw_oisst):
+    mhw, _ = mhw_oisst
+    block = xm.block_average(mhw, period=[2003, 2004])
+    assert block["ecount"].dims == ("years", "lat", "lon")
+    np.testing.assert_array_equal(block.coords["years"].values,
+                                  [2003, 2004])
+    # total events across blocks == total events detected
+    total = np.nansum(block["ecount"].data)
+    assert total == np.isfinite(mhw["event"].data).sum()
+    # mean duration within plausible range
+    d = block["duration"].data
+    assert np.nanmin(d) >= 5
+
+    # consistency: per-cell one-block count equals per-year event count
+    ystart = mhw["time_start"].sel(lat=-42.625, lon=148.125).values
+    y = ystart[~np.isnat(ystart)].astype("datetime64[Y]").astype(int) + 1970
+    c2003 = (y == 2003).sum()
+    assert block["ecount"].sel(lat=-42.625, lon=148.125).values[0] == c2003
+
+
+def test_block_average_with_ts(mhw_oisst):
+    mhw, inter = mhw_oisst
+    block = xm.block_average(mhw, dstime=inter)
+    for v in ("ts_mean", "ts_max", "ts_min", "moderate_days",
+              "strong_days", "severe_days", "extreme_days", "total_days"):
+        assert v in block, v
+    ts = inter["ts"].sel(lat=-42.625, lon=148.125).values
+    from xmhw_tpu.xrlite import TimeIndex
+    tyears = TimeIndex(np.asarray(inter.coords["time"].values)).year
+    np.testing.assert_allclose(
+        block["ts_mean"].sel(lat=-42.625, lon=148.125).values[0],
+        ts[tyears == 2003].mean())
+    # total_days == sum of category days
+    tot = block["total_days"].data
+    parts = sum(block[f"{c}_days"].data for c in
+                ("moderate", "strong", "severe", "extreme"))
+    np.testing.assert_allclose(tot, parts)
+
+
+def test_block_average_blocklength2(mhw_oisst):
+    mhw, _ = mhw_oisst
+    block = xm.block_average(mhw, period=[2003, 2004], blockLength=2)
+    assert len(block.coords["years"].values) == 1
+    assert np.nansum(block["ecount"].data) == np.isfinite(
+        mhw["event"].data).sum()
+
+
+def test_block_average_validation(mhw_oisst):
+    mhw, _ = mhw_oisst
+    with pytest.raises(XmhwException):
+        xm.block_average(mhw)  # no period, no ts
+    with pytest.raises(XmhwException):
+        xm.block_average(mhw, period=[2003, 2004], removeMissing=True)
+
+
+def test_block_average_point(mhw_oisst, oisst_ts):
+    """Point-mode path (broken in the reference: stats.py:138,166,176)."""
+    pt = oisst_ts.sel(lat=-42.625, lon=148.125)
+    clim = xm.threshold(pt, dtype=np.float64)
+    mhw, inter = xm.detect(pt, clim["thresh"], clim["seas"],
+                           intermediate=True, dtype=np.float64)
+    block = xm.block_average(mhw, dstime=inter)
+    assert block["ecount"].dims == ("years",)
+    grid_mhw, _ = mhw_oisst
+    grid_block = xm.block_average(grid_mhw, period=[2003, 2004])
+    np.testing.assert_allclose(
+        block["ecount"].values,
+        grid_block["ecount"].sel(lat=-42.625, lon=148.125).values)
+
+
+def test_block_average_reference_quirks(mhw_oisst):
+    mhw, _ = mhw_oisst
+    q = xm.block_average(mhw, period=[2003, 2004], reference_quirks=True)
+    fixed = xm.block_average(mhw, period=[2003, 2004])
+    # quirk mode reproduces the reference's copy-paste aggregation
+    np.testing.assert_allclose(np.nan_to_num(q["intensity_mean_abs"].data),
+                               np.nan_to_num(q["intensity_mean"].data))
+    # fixed mode aggregates the real _abs variable (SSTs ~ 15 degC)
+    assert np.nanmean(fixed["intensity_mean_abs"].data) > 10
+
+
+def test_find_across(mhw_oisst):
+    mhw, _ = mhw_oisst
+    from xmhw_tpu.stats_api import find_across
+    mask = find_across(mhw)
+    y0 = mhw["time_start"].data.astype("datetime64[Y]")
+    y1 = mhw["time_end"].data.astype("datetime64[Y]")
+    man = (y0 != y1) & ~np.isnat(mhw["time_start"].data) & ~np.isnat(
+        mhw["time_end"].data)
+    np.testing.assert_array_equal(mask, man)
