@@ -1,0 +1,284 @@
+"""Scatter-free event feature engine: prefix sums + one fused segmented scan.
+
+Drop-in alternative to :mod:`xmhw_tpu.core.features` optimized for TPU.
+Measured on v5e, the scatter engine needs ~8 s per 2048-cell block (XLA
+scatters serialize), and (T, C)-shaped gathers cost ~0.5 s each; this
+implementation avoids BOTH. It exploits the fact that events are
+CONTIGUOUS runs along time (reference semantics: mhw_filter + join_gaps
+produce contiguous spans, xmhw/identify.py:415-479):
+
+* sums/counts per event are prefix-cumsum differences, gathered ONLY at
+  the compact (K, C) start/end positions (small gathers are cheap);
+* variances use the per-cell-shifted single-pass identity
+  sum((x-mu)^2) = sum((x-a)^2) - n*(mu-a)^2 with a = per-cell mean, so no
+  per-day broadcast of event means is needed and float32 stays accurate
+  (values are centered before squaring);
+* max / first-argmax / first-finite / last-finite all ride ONE fused
+  segmented associative scan (multi-value carrier, reset at run starts) —
+  measured faster than three separate scans;
+* the event table is compacted with a single vectorized binary search on
+  the cumulative end-count; start positions are read from the per-day run
+  geometry at the end day. No scatters anywhere.
+
+The public contract (outputs, NaN padding, reference formulas for
+onset/decline, reference: xmhw/features.py:22-295) is identical to
+features.detect_kernel — tests assert agreement with it on CPU float64.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .events import mhw_filter
+
+_I32 = jnp.int32
+
+
+def _ss_cols(sorted_cols, targets):
+    """Vectorized per-column searchsorted: first index where
+    sorted_cols[:, c] >= targets[k]."""
+    return jax.vmap(
+        lambda col: jnp.searchsorted(col, targets, side="left"),
+        in_axes=1, out_axes=1,
+    )(sorted_cols)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "min_duration", "join_gaps", "max_gap",
+                     "intermediate"),
+)
+def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
+                  max_gap=2, intermediate=False):
+    """Scan-based detection pipeline; same contract as
+    features.detect_kernel (see that docstring for parameters)."""
+    T, C = ts.shape
+    dt = ts.dtype
+    nan = jnp.asarray(jnp.nan, dt)
+    neg = jnp.asarray(-jnp.inf, dt)
+    bigi = _I32(4 * T + 64)
+
+    thresh_t = th[doy_pos]
+    seas_t = se[doy_pos]
+    bthresh = ts > thresh_t
+    f = mhw_filter(bthresh, min_duration=min_duration, join_gaps=join_gaps,
+                   max_gap=max_gap)
+    day = f["event_day"]
+    is_start = f["is_start"]
+    n_events = jnp.minimum(f["n_events"], K)
+    idx = lax.broadcasted_iota(_I32, ts.shape, 0)
+    is_end = day & (idx == f["ev_end"])
+
+    # ---- per-day derived columns (reference: features.py:44-68) ----------
+    anom = ts - seas_t
+    anom_plus = jnp.concatenate([jnp.full((1, C), nan), anom[:-1]], axis=0)
+    anom_minus = jnp.concatenate([anom[1:], jnp.full((1, C), nan)], axis=0)
+    relSeas = jnp.where(day, ts - seas_t, nan)
+    relThresh = jnp.where(day, ts - thresh_t, nan)
+    th_se = thresh_t - seas_t
+    relThreshNorm = jnp.where(day, relThresh / th_se, nan)
+    severity = jnp.where(day, relSeas / -th_se, nan)
+    cats = jnp.floor(1.0 + relThreshNorm)
+    mabs = jnp.where(day, ts, nan)
+    dur_moderate = cats == 1.0
+    dur_strong = cats == 2.0
+    dur_severe = cats == 3.0
+    dur_extreme = cats >= 4.0
+
+    fin_rs = jnp.isfinite(relSeas)
+    fin_rt = jnp.isfinite(relThresh)
+    fin_sv = jnp.isfinite(severity)
+    fin_ma = jnp.isfinite(mabs)
+    fin_ct = jnp.isfinite(cats)
+    fin_ap = jnp.isfinite(anom_plus) & day
+    fin_am = jnp.isfinite(anom_minus) & day
+
+    # ---- compaction geometry (one binary search, no scatters) ------------
+    targets = jnp.arange(1, K + 1, dtype=_I32)
+    cum_end = jnp.cumsum(is_end.astype(_I32), axis=0)
+    end_pos = jnp.minimum(_ss_cols(cum_end, targets), T - 1).astype(_I32)
+    valid = (lax.broadcasted_iota(_I32, (K, C), 0) < n_events[None, :])
+
+    def at_end(x):
+        return jnp.take_along_axis(x, end_pos, axis=0)
+
+    start = at_end(jnp.where(day, f["ev_start"], 0)).astype(_I32)
+    end = at_end(idx).astype(_I32)
+    endp1 = end + 1
+
+    # ---- prefix sums, gathered at (K, C) only ----------------------------
+    def prefix(x):
+        P = jnp.cumsum(x, axis=0)
+        return jnp.concatenate([jnp.zeros((1, C), P.dtype), P], axis=0)
+
+    def rng(P):
+        return (jnp.take_along_axis(P, endp1, axis=0)
+                - jnp.take_along_axis(P, start, axis=0))
+
+    # per-cell shift constants for numerically safe single-pass variance
+    def cell_shift(x, fin):
+        s = jnp.sum(jnp.where(fin, x, 0), axis=0, keepdims=True)
+        n = jnp.sum(fin, axis=0, keepdims=True)
+        return (s / jnp.maximum(n, 1)).astype(dt)
+
+    def stats(x, fin):
+        """(n, sum, mean, std[ddof=1]) over each event span."""
+        a = cell_shift(x, fin)
+        xs = jnp.where(fin, x - a, 0).astype(dt)
+        n = rng(prefix(fin.astype(dt)))
+        s_sh = rng(prefix(xs))
+        ss_sh = rng(prefix(xs * xs))
+        mean_sh = jnp.where(n > 0, s_sh / jnp.maximum(n, 1.0), nan)
+        var = (ss_sh - n * mean_sh * mean_sh) / jnp.maximum(n - 1.0, 1.0)
+        std = jnp.sqrt(jnp.maximum(var, 0.0))
+        std = jnp.where(n > 1, std, nan)
+        mean = jnp.where(n > 0, mean_sh + a[0][None, :], nan)
+        total = jnp.where(n > 0, s_sh + n * a[0][None, :], nan)
+        return n, total, mean, std
+
+    n_rs, sum_rs, mean_rs, std_rs = stats(relSeas, fin_rs)
+    n_rt, sum_rt, mean_rt, std_rt = stats(relThresh, fin_rt)
+    n_sv, sum_sv, mean_sv, std_sv = stats(severity, fin_sv)
+    n_ma, sum_ma, mean_ma, std_ma = stats(mabs, fin_ma)
+
+    dur_mod = rng(prefix(jnp.where(day, dur_moderate, False).astype(dt)))
+    dur_str = rng(prefix(jnp.where(day, dur_strong, False).astype(dt)))
+    dur_sev = rng(prefix(jnp.where(day, dur_severe, False).astype(dt)))
+    dur_ext = rng(prefix(jnp.where(day, dur_extreme, False).astype(dt)))
+    n_ct = rng(prefix((fin_ct & day).astype(dt)))
+
+    # ---- ONE fused segmented scan: max/argmax + first/last finite --------
+    carrier = (
+        jnp.where(day & fin_rs, relSeas, neg),      # relSeas running max
+        idx,                                        # its first argmax
+        jnp.where(day & fin_sv, severity, neg),     # severity max
+        jnp.where(day & fin_ct, cats, neg),         # cats max
+        jnp.where(day & fin_rs, idx, bigi),         # first finite relSeas
+        jnp.where(day & fin_rs, idx, _I32(-1)),     # last finite relSeas
+        jnp.where(fin_ap, idx, bigi),               # first finite anom_plus
+        jnp.where(fin_am, idx, _I32(-1)),           # last finite anom_minus
+        is_start,                                   # segment reset
+    )
+
+    def comb(a, b):
+        av, ai, asv, act, aff, alf, afa, ala, ar = a
+        bv, bi, bsv, bct, bff, blf, bfa, bla, br = b
+        take_b = br | (bv > av)
+        return (
+            jnp.where(take_b, bv, av),
+            jnp.where(take_b, bi, ai),
+            jnp.where(br, bsv, jnp.maximum(asv, bsv)),
+            jnp.where(br, bct, jnp.maximum(act, bct)),
+            jnp.where(br, bff, jnp.minimum(aff, bff)),
+            jnp.where(br, blf, jnp.maximum(alf, blf)),
+            jnp.where(br, bfa, jnp.minimum(afa, bfa)),
+            jnp.where(br, bla, jnp.maximum(ala, bla)),
+            ar | br,
+        )
+
+    (dmax_rs, dpeak, dmax_sv, dmax_ct, dff_rs, dlf_rs, dff_ap, dlf_am,
+     _) = lax.associative_scan(comb, carrier, axis=0)
+
+    max_rs = jnp.where(valid & (n_rs > 0), at_end(dmax_rs), nan)
+    peak = at_end(dpeak).astype(_I32)
+    max_sv = jnp.where(valid & (n_sv > 0), at_end(dmax_sv), nan)
+    max_ct = jnp.where(valid & (n_ct > 0), at_end(dmax_ct), nan)
+    i_rs_first = at_end(dff_rs)
+    i_rs_last = at_end(dlf_rs)
+    i_ap_first = at_end(dff_ap)
+    i_am_last = at_end(dlf_am)
+
+    def gather_day(x, pos, ok):
+        v = jnp.take_along_axis(x, jnp.clip(pos, 0, T - 1), axis=0)
+        return jnp.where(valid & ok, v, nan)
+
+    relS_first = gather_day(relSeas, i_rs_first, i_rs_first < bigi)
+    relS_last = gather_day(relSeas, i_rs_last, i_rs_last >= 0)
+    anom_first = gather_day(anom_plus, i_ap_first, i_ap_first < bigi)
+    anom_last = gather_day(anom_minus, i_am_last, i_am_last >= 0)
+    int_max_relT = gather_day(relThresh, peak, n_rs > 0)
+    int_max_abs = gather_day(mabs, peak, n_rs > 0)
+
+    # ---- closed-form properties (reference: features.py:161-295) ----------
+    startf = jnp.where(valid, start, 0).astype(dt)
+    endf = jnp.where(valid, end, 0).astype(dt)
+    peakf = jnp.where(valid & (n_rs > 0), peak, 0).astype(dt)
+    duration = endf - startf + 1.0
+    category = jnp.minimum(max_ct, 4.0)
+
+    tsend = jnp.asarray(T - 1, dt)
+    rel_peak = peakf - startf
+    x = jnp.where(rel_peak != 0, rel_peak, 1.0)
+    onset_period = jnp.where(startf == 0, x, x + 0.5)
+    esp = endf - startf - rel_peak
+    y = jnp.where(rel_peak != tsend, esp, 1.0)
+    decline_period = jnp.where(endf == tsend, y, y + 0.5)
+
+    edge_onset = 0.5 * (relS_first
+                        + jnp.where(startf == 0, relS_first, anom_first))
+    edge_decline = 0.5 * (relS_last
+                          + jnp.where(endf == tsend, relS_last, anom_last))
+    rate_onset = (max_rs - edge_onset) / onset_period
+    rate_decline = (max_rs - edge_decline) / decline_period
+
+    def masked(v):
+        return jnp.where(valid, v, nan)
+
+    table = {
+        "event": masked(startf),
+        "index_start": masked(startf),
+        "index_end": masked(endf),
+        "time_start": jnp.where(valid, start, -1),
+        "time_end": jnp.where(valid, end, -1),
+        "time_peak": jnp.where(valid & (n_rs > 0), peak, -1),
+        "intensity_max": masked(max_rs),
+        "intensity_mean": masked(mean_rs),
+        "intensity_cumulative": masked(sum_rs),
+        "severity_max": masked(max_sv),
+        "severity_mean": masked(mean_sv),
+        "severity_cumulative": masked(sum_sv),
+        "severity_var": masked(std_sv),
+        "intensity_mean_relThresh": masked(mean_rt),
+        "intensity_cumulative_relThresh": masked(sum_rt),
+        "intensity_mean_abs": masked(mean_ma),
+        "intensity_cumulative_abs": masked(sum_ma),
+        "duration_moderate": masked(dur_mod),
+        "duration_strong": masked(dur_str),
+        "duration_severe": masked(dur_sev),
+        "duration_extreme": masked(dur_ext),
+        "index_peak": masked(peakf),
+        "intensity_var": masked(std_rs),
+        "intensity_max_relThresh": masked(int_max_relT),
+        "intensity_max_abs": masked(int_max_abs),
+        "intensity_var_relThresh": masked(std_rt),
+        "intensity_var_abs": masked(std_ma),
+        "category": masked(category),
+        "duration": masked(duration),
+        "rate_onset": masked(rate_onset),
+        "rate_decline": masked(rate_decline),
+    }
+
+    inter = {}
+    if intermediate:
+        inter = {
+            "ts": ts,
+            "seas": jnp.where(day, seas_t, nan),
+            "thresh": jnp.where(day, thresh_t, nan),
+            "bthresh": bthresh,
+            "events": jnp.where(day, f["event_id"].astype(dt), nan),
+            "relSeas": relSeas,
+            "relThresh": relThresh,
+            "relThreshNorm": relThreshNorm,
+            "severity": severity,
+            "cats": cats,
+            "duration_moderate": dur_moderate & day,
+            "duration_strong": dur_strong & day,
+            "duration_severe": dur_severe & day,
+            "duration_extreme": dur_extreme & day,
+            "mabs": mabs,
+        }
+    return table, n_events, inter

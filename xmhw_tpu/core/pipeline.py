@@ -11,6 +11,8 @@ but automatic and without task-graph overhead.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,7 +20,7 @@ import numpy as np
 from ..parallel.mesh import cell_mesh, cell_sharding, pad_cells, replicated
 from .clim import clim_kernel
 from .events import mhw_filter
-from .features import detect_kernel
+from .features_scan import detect_kernel
 
 
 def _auto_block(T: int, Z: int, ndoy: int, n_dev: int,
@@ -93,6 +95,29 @@ def run_clim(ts_np: np.ndarray, gidx_np: np.ndarray, pctile: int,
         out_t[:, lo:hi] = np.asarray(th)[:, : hi - lo]
         out_s[:, lo:hi] = np.asarray(se)[:, : hi - lo]
     return out_t, out_s
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pctile", "smooth", "smooth_w", "patch_feb29", "K",
+                     "min_duration", "join_gaps", "max_gap"),
+)
+def fused_threshold_detect(ts, gidx, doy_pos, pctile=90, smooth=True,
+                           smooth_w=31, patch_feb29=True, K=64,
+                           min_duration=5, join_gaps=True, max_gap=2):
+    """threshold() + detect() as ONE fused XLA program for a cell block.
+
+    The climatology never leaves the device: the percentile/mean feed the
+    detection gather directly. This is the flagship compute step used by
+    the benchmark and the multi-chip dry run; sharding the trailing cell
+    axis over a mesh parallelizes it with zero collectives.
+    """
+    th, se = clim_kernel(ts, gidx, pctile=pctile, smooth=smooth,
+                         smooth_w=smooth_w, patch_feb29=patch_feb29)
+    table, n_events, _ = detect_kernel(
+        ts, th, se, doy_pos, K=K, min_duration=min_duration,
+        join_gaps=join_gaps, max_gap=max_gap, intermediate=False)
+    return th, se, table, n_events
 
 
 def _round_k(k: int) -> int:
