@@ -89,3 +89,28 @@ def test_empty_bucket_gives_nan():
     th, se = doy_clim(jnp.asarray(ts), jnp.asarray(gidx), 90)
     assert np.isnan(np.asarray(th)[3, 0]) and np.isnan(np.asarray(se)[3, 0])
     assert np.asarray(th)[0, 0] == 1.0
+
+
+def test_select_quantile_matches_sort_with_ties():
+    """Radix-select must handle duplicate values: the (k+1)-th order
+    statistic can EQUAL the k-th (OISST data is 0.01-quantized)."""
+    import jax.numpy as jnp
+
+    from xmhw_tpu.core.clim import (_interp_quantile, _masked_sort,
+                                    _select_quantile)
+
+    rng = np.random.default_rng(3)
+    vals = np.round(rng.normal(15, 3, (40, 111, 17)), 2).astype(np.float32)
+    mask = rng.random((40, 111, 17)) > 0.1
+    sq = np.asarray(_select_quantile(jnp.asarray(vals), jnp.asarray(mask),
+                                     0.9))
+    sv, n = _masked_sort(jnp.asarray(vals), jnp.asarray(mask))
+    gq = np.asarray(_interp_quantile(sv, n, jnp.float32(0.9)))
+    np.testing.assert_allclose(sq, gq, atol=1e-6)
+    # negative values exercise the sign-flip in the uint32 key
+    vals2 = (vals - 15.0).astype(np.float32)
+    sq2 = np.asarray(_select_quantile(jnp.asarray(vals2),
+                                      jnp.asarray(mask), 0.9))
+    sv2, n2 = _masked_sort(jnp.asarray(vals2), jnp.asarray(mask))
+    gq2 = np.asarray(_interp_quantile(sv2, n2, jnp.float32(0.9)))
+    np.testing.assert_allclose(sq2, gq2, atol=1e-6)

@@ -74,11 +74,14 @@ def _select_quantile(vals, mask, q):
     lo = lax.fori_loop(0, 32, body,
                        jnp.zeros(n.shape, jnp.uint32))
     vk = _key_to_float(lo).astype(dt)
-    # next order statistic: smallest key strictly greater than lo
+    # (k+1)-th order statistic: with ties spanning position k+1 it EQUALS
+    # vk; otherwise it is the smallest key strictly greater than lo
+    cnt_le = jnp.sum((key <= lo[:, None, :]).astype(jnp.int32), axis=1)
     gt = jnp.where(key > lo[:, None, :], key, jnp.uint32(0xFFFFFFFF))
     hik = jnp.min(gt, axis=1)
     has_next = hik != jnp.uint32(0xFFFFFFFF)
-    vk1 = jnp.where(has_next, _key_to_float(hik).astype(dt), vk)
+    vk1 = jnp.where(cnt_le > k + 1, vk,
+                    jnp.where(has_next, _key_to_float(hik).astype(dt), vk))
     frac = (pos - k.astype(pos.dtype)).astype(dt)
     out = vk + frac * (vk1 - vk)
     return jnp.where(n > 0, out, jnp.nan)
