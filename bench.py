@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark: threshold+detect throughput (grid-cells/sec) on TPU.
+
+Scenario (BASELINE.md): 40 years of daily SST (T=14610) per grid cell,
+full Hobday et al. (2016) pipeline — windowed doy climatology (90th
+percentile + mean, feb29 patch, 31-day circular smoothing) fused with
+event detection (RLE, maxGap joining, all ~30 per-event properties).
+
+The metric is cells/sec per chip for the fused threshold+detect step,
+including the per-block host sync. vs_baseline compares against the
+driver-set north star: global 0.25-degree OISST (~620k ocean cells) in
+<60 s on a v5e-8, i.e. 620000/60/8 ~= 1292 cells/s/chip = 1.0.
+
+Data is generated on-device (seasonal cycle + AR-smoothed noise) so the
+benchmark measures the framework, not the harness's host<->device tunnel.
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from xmhw_tpu.core.calendar import build_window_index, compute_doy
+    from xmhw_tpu.core.clim import clim_kernel
+    from xmhw_tpu.core.features_scan import detect_kernel
+    from xmhw_tpu.xrlite import TimeIndex
+
+    t = np.arange("1982-01-01", "2022-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")
+    T = len(t)
+    doy, ndoy = compute_doy(TimeIndex(t))
+    gidx, _ = build_window_index(doy, 5, ndoy)
+    C = 2048          # cells per block (auto-tuned for v5e HBM)
+    K = 128           # event-table capacity
+    N_BLOCKS = 4
+
+    gidx_d = jnp.asarray(gidx)
+    doy_pos = jnp.asarray((doy - 1).astype(np.int32))
+
+    @jax.jit
+    def gen(key):
+        day = jnp.arange(T, dtype=jnp.float32)[:, None]
+        base = 15 + 3 * jnp.sin(2 * jnp.pi * day / 365.25)
+        noise = jax.random.normal(key, (T, C), jnp.float32)
+        sm = sum(jnp.roll(noise, k, 0) for k in range(-7, 8)) / 15.0
+        return base + 2.5 * sm
+
+    @jax.jit
+    def step(ts):
+        th, se = clim_kernel(ts, gidx_d)
+        table, nev, _ = detect_kernel(ts, th, se, doy_pos, K=K)
+        return table["intensity_max"], table["duration"], nev
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N_BLOCKS + 1)
+    blocks = [gen(k) for k in keys]
+
+    # warmup / compile
+    imax, dur, nev = step(blocks[-1])
+    total_warm = int(np.asarray(nev).sum())
+
+    t0 = time.perf_counter()
+    total_events = 0
+    for b in blocks[:N_BLOCKS]:
+        imax, dur, nev = step(b)
+        # host sync: event counts + two event properties
+        total_events += int(np.asarray(nev).sum())
+        _ = np.asarray(imax[:8])
+    dt = time.perf_counter() - t0
+
+    cells = N_BLOCKS * C
+    rate = cells / dt
+    baseline_rate = 620000 / 60 / 8  # cells/s/chip for the <60s target
+    print(json.dumps({
+        "metric": "threshold_detect_cells_per_sec_per_chip",
+        "value": round(rate, 1),
+        "unit": "cells/s",
+        "vs_baseline": round(rate / baseline_rate, 2),
+        "detail": {
+            "T_days": T,
+            "cells": cells,
+            "wall_s": round(dt, 3),
+            "events_detected": total_events,
+            "warmup_events": total_warm,
+            "projected_global_oisst_8chip_s":
+                round(620000 / (rate * 8), 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
