@@ -24,13 +24,15 @@ from .features_scan import detect_kernel
 
 
 def _auto_block(T: int, Z: int, ndoy: int, n_dev: int,
-                budget_bytes: float = 2.5e9) -> int:
-    """Pick a cell-block size so the largest intermediate fits the budget.
+                budget_bytes: float = 6e9) -> int:
+    """Pick a cell-block size so peak HBM fits the budget.
 
-    The climatology gather tensor (ndoy, Z, B) and its sort buffer dominate
-    (~3 copies); the detect kernel holds ~30 (T, B) arrays.
+    Measured on v5e: throughput saturates near 4096 cells/block (smaller
+    blocks are launch-overhead bound, 2x smaller blocks ran 4x slower);
+    the climatology gather holds ~2 (ndoy, Z, B) buffers and the detect
+    kernel ~25 live (T, B) arrays.
     """
-    per_cell = max(3 * ndoy * Z * 4, 40 * T * 4)
+    per_cell = max(2 * ndoy * Z * 4, 25 * T * 4)
     b = int(budget_bytes / max(per_cell, 1))
     b = max(128, min(b, 1 << 16))
     # round down to a power of two for stable compilation shapes
