@@ -157,3 +157,71 @@ def test_find_across(mhw_oisst):
     man = (y0 != y1) & ~np.isnat(mhw["time_start"].data) & ~np.isnat(
         mhw["time_end"].data)
     np.testing.assert_array_equal(mask, man)
+
+
+def test_cat_days():
+    """Reference cat_days fixture (test_stats.py:38-43)."""
+    from xmhw_tpu.stats import cat_days
+    cats = np.array([1, 2, 1, 1, 2, 3, 1, 4, 3, 2, 1, 1, 2])
+    assert cat_days(cats) == 6
+    assert cat_days(cats, cat=2) == 4
+    assert cat_days(cats, cat=3) == 2
+    assert cat_days(cats, cat=4) == 1
+
+
+def test_reference_import_paths(oisst_ts):
+    """Users of the reference import from xmhw.xmhw / xmhw.identify /
+    xmhw.stats; the same paths work here."""
+    from xmhw_tpu.xmhw import detect, threshold  # noqa: F401
+    from xmhw_tpu.identify import (add_doy, feb29, get_calendar,
+                                   land_check, mhw_filter, runavg)
+    from xmhw_tpu.features import get_edge, get_period, get_rate
+    from xmhw_tpu.stats import block_average, mhw_rank  # noqa: F401
+    from xmhw_tpu.xrlite import DataArray, Coord
+
+    ts = add_doy(oisst_ts)
+    a = np.arange(1, 367)
+    expected = np.concatenate((np.delete(a, [59]), a))
+    np.testing.assert_array_equal(ts.coords["doy"].values, expected)
+
+    da = DataArray(np.array([1.0, 2, 2, 4, 3, 2]), ("doy",),
+                   {"doy": Coord(("doy",), np.arange(1, 7))})
+    np.testing.assert_almost_equal(
+        runavg(da, 3).data, [1.66667, 1.66667, 2.66667, 3.0, 3.0, 2.0],
+        decimal=5)
+    import pytest as _pytest
+    from xmhw_tpu.exception import XmhwException
+    with _pytest.raises(XmhwException):
+        runavg(da, 2)
+
+    # feb29 on a synthetic climatology
+    clim = DataArray(np.arange(366, dtype=float), ("doy",),
+                     {"doy": Coord(("doy",), np.arange(1, 367))})
+    np.testing.assert_allclose(feb29(clim), np.mean([58, 59, 60]))
+
+    # mhw_filter series-level wrapper
+    b = np.zeros(29, bool)
+    b[1:6] = b[11:17] = b[20:25] = True
+    out = mhw_filter(b, 5, True, 3)
+    assert out["n_events"][0] == 2
+    assert np.nanmax(out["events"]) == 11
+
+    # get_period matches the reference unit test (test_features.py:64-81)
+    start = np.array([0, 8, 18]); end = np.array([4, 15, 25])
+    ons, dec = get_period(start, end, np.array([0, 10, 19]), 25)
+    np.testing.assert_array_equal(ons, [1, 10.5, 19.5])
+    np.testing.assert_array_equal(dec, [4.5, -2.5, -12])
+    ons2, dec2 = get_period(start, end, np.array([3, 15, 25]), 25)
+    np.testing.assert_array_equal(ons2, [3.0, 15.5, 25.5])
+    np.testing.assert_array_equal(dec2, [1.5, -7.5, 1.0])
+
+    # get_edge matches the reference unit test (test_features.py:55-62)
+    edges = get_edge(np.array([2.3, 2.3]), np.array([1.7, 1.7]),
+                     np.array([2, 0]), 0)
+    np.testing.assert_allclose(edges, [2.0, 2.3])
+
+    # get_rate matches the reference unit test (test_features.py:84-89)
+    np.testing.assert_allclose(
+        get_rate(np.array([1.4, 2.4, 1.8]), np.array([1.0, 1.5, 2.5]),
+                 np.array([1, 10.5, 19.5])),
+        [0.4, 0.08571429, -0.03589744], rtol=1e-6)
