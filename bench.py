@@ -26,21 +26,22 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from xmhw_tpu.core.calendar import build_window_index, compute_doy
-    from xmhw_tpu.core.clim import clim_kernel
+    from xmhw_tpu.core.calendar import build_window_ranges, compute_doy
     from xmhw_tpu.core.features_scan import detect_kernel
+    from xmhw_tpu.core.pipeline import _pallas_clim_block
     from xmhw_tpu.xrlite import TimeIndex
 
     t = np.arange("1982-01-01", "2022-01-01",
                   dtype="datetime64[D]").astype("datetime64[ns]")
     T = len(t)
     doy, ndoy = compute_doy(TimeIndex(t))
-    gidx, _ = build_window_index(doy, 5, ndoy)
+    starts_np, lens_np, ny, rmax = build_window_ranges(doy, 5, ndoy)
     C = 4096          # cells per block (v5e throughput sweet spot)
     K = 128           # event-table capacity
     N_BLOCKS = 3
 
-    gidx_d = jnp.asarray(gidx)
+    starts = jnp.asarray(starts_np.reshape(-1))
+    lens = jnp.asarray(lens_np.reshape(-1))
     doy_pos = jnp.asarray((doy - 1).astype(np.int32))
 
     @jax.jit
@@ -49,12 +50,16 @@ def main():
         base = 15 + 3 * jnp.sin(2 * jnp.pi * day / 365.25)
         noise = jax.random.normal(key, (T, C), jnp.float32)
         sm = sum(jnp.roll(noise, k, 0) for k in range(-7, 8)) / 15.0
-        return base + 2.5 * sm
+        # rmax NaN pad rows for the Pallas climatology kernel
+        return jnp.pad(base + 2.5 * sm, ((0, rmax), (0, 0)),
+                       constant_values=jnp.nan)
 
     @jax.jit
-    def step(ts):
-        th, se = clim_kernel(ts, gidx_d)
-        table, nev, _ = detect_kernel(ts, th, se, doy_pos, K=K)
+    def step(ts_p):
+        th, se = _pallas_clim_block(
+            ts_p, starts, lens, ndoy=ndoy, ny=ny, rmax=rmax, pctile=90,
+            smooth=True, smooth_w=31, patch_feb29=True)
+        table, nev, _ = detect_kernel(ts_p[:T], th, se, doy_pos, K=K)
         return table["intensity_max"], table["duration"], nev
 
     keys = jax.random.split(jax.random.PRNGKey(0), N_BLOCKS + 1)
@@ -68,11 +73,11 @@ def main():
     total_warm = int(np.asarray(nev).sum())
 
     t0 = time.perf_counter()
-    total_events = 0
-    for b in blocks[:N_BLOCKS]:
-        imax, dur, nev = step(b)
-        # host sync: the event-count fetch forces the whole program
-        total_events += int(np.asarray(nev).sum())
+    # dispatch all blocks (async), then sync: measures aggregate
+    # throughput with compute/transfer overlap, as a production pipeline
+    # would run
+    outs = [step(b) for b in blocks[:N_BLOCKS]]
+    total_events = sum(int(np.asarray(nev).sum()) for _, _, nev in outs)
     dt = time.perf_counter() - t0
 
     cells = N_BLOCKS * C

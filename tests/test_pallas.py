@@ -1,0 +1,61 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled path is exercised
+by bench.py on real TPU and asserted equal there during development)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xmhw_tpu.core.calendar import (build_window_index,
+                                    build_window_ranges, compute_doy)
+from xmhw_tpu.core.clim import doy_clim
+from xmhw_tpu.ops.pallas.doy_quantile import doy_clim_pallas
+from xmhw_tpu.xrlite import TimeIndex
+
+
+@pytest.fixture(scope="module")
+def window_tables():
+    t = np.arange("2001-01-01", "2005-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")
+    doy, ndoy = compute_doy(TimeIndex(t))
+    gidx, _ = build_window_index(doy, 5, ndoy)
+    starts, lens, ny, rmax = build_window_ranges(doy, 5, ndoy)
+    return len(t), doy, ndoy, gidx, starts, lens, ny, rmax
+
+
+def test_ranges_equal_gather_table(window_tables):
+    T, doy, ndoy, gidx, starts, lens, ny, rmax = window_tables
+    for d in range(0, ndoy, 37):
+        pool1 = sorted(gidx[d][gidx[d] >= 0].tolist())
+        pool2 = []
+        for y in range(ny):
+            pool2.extend(range(starts[d, y], starts[d, y] + lens[d, y]))
+        assert pool1 == sorted(pool2), d
+
+
+def test_pallas_clim_matches_xla(window_tables):
+    T, doy, ndoy, gidx, starts, lens, ny, rmax = window_tables
+    rng = np.random.default_rng(0)
+    # ties (0.01-quantized), negatives, NaN runs, non-multiple-of-128 C
+    ts = np.round(rng.normal(0, 3, (T, 130)), 2).astype(np.float32)
+    ts[100:160, 7] = np.nan
+    ts[:, 11] = np.nan  # all-NaN (land-like padded) cell
+    th0, se0 = doy_clim(jnp.asarray(ts), jnp.asarray(gidx), 90)
+    th1, se1 = doy_clim_pallas(ts, starts, lens, ny, rmax, 90,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(th1), np.asarray(th0),
+                               atol=1e-6, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(se1), np.asarray(se0),
+                               atol=1e-5, equal_nan=True)
+    assert np.isnan(np.asarray(th1)[:, 11]).all()
+
+
+def test_pipeline_pallas_flag_cpu(window_tables, monkeypatch):
+    """run_clim(use_pallas=...) plumbing (interpret-free CPU check that
+    the flag selects the XLA path on float64)."""
+    import xmhw_tpu.core.pipeline as P
+
+    T, doy, ndoy, gidx, starts, lens, ny, rmax = window_tables
+    rng = np.random.default_rng(1)
+    ts = rng.normal(15, 2, (T, 40)).astype(np.float64)
+    a = P.run_clim(ts, doy, 5, ndoy, 90, True, 31, True)
+    assert a[0].shape == (ndoy, 40)

@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from .annotate import annotate_ds, detect_params_attr, threshold_params_attr
-from .core.calendar import build_window_index, compute_doy, get_calendar
+from .core.calendar import compute_doy, get_calendar
 from .core.pipeline import run_clim, run_detect
 from .exception import XmhwException
 from .xrlite import Coord, DataArray, Dataset, TimeIndex, unstack_cell
@@ -142,11 +142,10 @@ def threshold(
     if coldSpells:
         data = -data
 
-    gidx, _ = build_window_index(doy, windowHalfWidth, ndoy)
     thresh, seas = run_clim(
-        data, gidx, pctile=pctile, smooth=smoothPercentile,
-        smooth_w=smoothPercentileWidth, patch_feb29=not tstep,
-        block=cell_block, mesh=mesh,
+        data, doy, windowHalfWidth, ndoy, pctile=pctile,
+        smooth=smoothPercentile, smooth_w=smoothPercentileWidth,
+        patch_feb29=not tstep, block=cell_block, mesh=mesh,
     )
 
     doy_coord = Coord(("doy",), np.arange(1, ndoy + 1))

@@ -116,3 +116,34 @@ def build_window_index(doy: np.ndarray, w: int, ndoy: int):
     within = np.arange(len(bucket)) - starts[bucket]
     gidx[bucket, within] = member
     return gidx, Z
+
+
+def build_window_ranges(doy: np.ndarray, w: int, ndoy: int):
+    """Contiguous-range form of the window pooling table (Pallas layout).
+
+    Each doy occurs at most once per calendar year (366-mapping and tstep
+    numbering both guarantee this), so the pooled set for (doy, year) is
+    ONE contiguous time range [t-w, t+w] clipped to the series — the form
+    a TPU kernel can DMA with a single dynamic slice per (doy, year)
+    instead of Z element gathers.
+
+    Returns (starts (ndoy, NY) int32, lens (ndoy, NY) int32, NY, RMAX)
+    where RMAX = 2*w+1. Empty (doy, year) combinations have len 0. The
+    device series must be padded with RMAX trailing NaN rows so a fixed
+    RMAX-row slice at any start stays in bounds.
+    """
+    doy = np.asarray(doy)
+    T = len(doy)
+    # assign each timestep to a "year chunk": count doy wrap-arounds
+    wraps = np.concatenate([[0], (np.diff(doy) < 0).astype(np.int64)])
+    yearidx = np.cumsum(wraps)
+    NY = int(yearidx[-1]) + 1
+    starts = np.zeros((ndoy, NY), np.int32)
+    lens = np.zeros((ndoy, NY), np.int32)
+    centers_d = doy - 1
+    lo = np.maximum(np.arange(T) - w, 0)
+    hi = np.minimum(np.arange(T) + w + 1, T)
+    # at most one center per (doy, year): direct assignment
+    starts[centers_d, yearidx] = lo.astype(np.int32)
+    lens[centers_d, yearidx] = (hi - lo).astype(np.int32)
+    return starts, lens, NY, 2 * w + 1

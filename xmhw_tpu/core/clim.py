@@ -33,16 +33,28 @@ import jax.numpy as jnp
 from jax import lax
 
 
+_I32_MAX = jnp.int32(0x7FFFFFFF)
+_SIGN = jnp.int32(-0x80000000)
+
+
 def _float_key(x):
-    """Monotonic float32->uint32 key (total order, NaN-safe via masking)."""
-    bits = lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
-    neg = (bits >> 31).astype(bool)
-    return jnp.where(neg, ~bits, bits | jnp.uint32(0x80000000))
+    """Monotonic float32 -> SIGNED int32 key (total order).
+
+    The classic unsigned key u (flip sign bit for positives, bitwise-not
+    negatives) is carried in the order-preserving signed form
+    r = bitcast_i32(u ^ 0x80000000): XLA's TPU backend mis-lowers some
+    fused uint32 comparisons (observed: tie-handling compare folding in
+    jit), and Mosaic has no unsigned reductions, so ALL device code uses
+    the signed form.
+    """
+    bits = lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    # u = neg ? ~bits : bits | 0x80000000 ; r = u ^ 0x80000000
+    return jnp.where(bits < 0, ~bits ^ _SIGN, bits)
 
 
-def _key_to_float(key):
-    bits = jnp.where(key >= jnp.uint32(0x80000000),
-                     key & jnp.uint32(0x7FFFFFFF), ~key)
+def _key_to_float(r):
+    u_high = r >= 0  # u had its high bit set <=> r is non-negative
+    bits = jnp.where(u_high, r, ~(r ^ _SIGN))
     return lax.bitcast_convert_type(bits, jnp.float32)
 
 
@@ -50,36 +62,42 @@ def _select_quantile(vals, mask, q):
     """Linear-interpolation quantile via radix-select (sort-free).
 
     XLA's comparator sort is the bottleneck of the pooled-percentile on
-    TPU; a 32-step binary search on the monotone uint32 key space needs
+    TPU; a 32-step binary search on the monotone int32 key space needs
     only counting passes over the pooled axis — ~100x less memory traffic
     than a full sort. Exactly equivalent to numpy's 'linear' method on the
-    masked multiset: finds order statistics k and k+1, interpolates.
+    masked multiset: finds order statistics k and k+1, interpolates
+    (including tied values spanning the k/k+1 boundary).
 
     vals/mask: (D, Z, C); returns (D, C).
     """
     dt = vals.dtype
-    key = jnp.where(mask, _float_key(vals), jnp.uint32(0xFFFFFFFF))
+    key = jnp.where(mask, _float_key(vals), _I32_MAX)
     n = jnp.sum(mask, axis=1)  # (D, C)
     pos = (q * (n.astype(jnp.float64 if dt == jnp.float64 else jnp.float32)
                 - 1.0))
     k = jnp.floor(pos).astype(jnp.int32)
     k = jnp.maximum(k, 0)
 
+    # greedy MSB-first bisection on the signed key domain: start at
+    # INT32_MIN (all-zero unsigned pattern) and try setting each unsigned
+    # bit; bit 31 of u toggles the sign of r, handled by XOR with _SIGN.
     def body(i, lo):
         b = 31 - i
-        cand = lo | (jnp.uint32(1) << b)
+        cand = lo | lax.bitcast_convert_type(jnp.uint32(1) << b, jnp.int32)
+        # setting unsigned bit 31 == flipping the signed sign bit
+        cand = jnp.where(b == 31, lo ^ _SIGN, cand)
         cnt = jnp.sum((key < cand[:, None, :]).astype(jnp.int32), axis=1)
         return jnp.where(cnt <= k, cand, lo)
 
     lo = lax.fori_loop(0, 32, body,
-                       jnp.zeros(n.shape, jnp.uint32))
+                       jnp.full(n.shape, _SIGN, jnp.int32))
     vk = _key_to_float(lo).astype(dt)
     # (k+1)-th order statistic: with ties spanning position k+1 it EQUALS
     # vk; otherwise it is the smallest key strictly greater than lo
     cnt_le = jnp.sum((key <= lo[:, None, :]).astype(jnp.int32), axis=1)
-    gt = jnp.where(key > lo[:, None, :], key, jnp.uint32(0xFFFFFFFF))
+    gt = jnp.where(key > lo[:, None, :], key, _I32_MAX)
     hik = jnp.min(gt, axis=1)
-    has_next = hik != jnp.uint32(0xFFFFFFFF)
+    has_next = hik != _I32_MAX
     vk1 = jnp.where(cnt_le > k + 1, vk,
                     jnp.where(has_next, _key_to_float(hik).astype(dt), vk))
     frac = (pos - k.astype(pos.dtype)).astype(dt)
