@@ -56,11 +56,19 @@ def main():
 
     @jax.jit
     def step(ts_p):
+        # the FULL user-facing computation: climatology + all ~31 event
+        # properties (no dead-code elimination of unused outputs)
         th, se = _pallas_clim_block(
             ts_p, starts, lens, ndoy=ndoy, ny=ny, rmax=rmax, pctile=90,
             smooth=True, smooth_w=31, patch_feb29=True)
         table, nev, _ = detect_kernel(ts_p[:T], th, se, doy_pos, K=K)
-        return table["intensity_max"], table["duration"], nev
+        # single tiny digest depending on EVERY output variable: forces
+        # the full computation with one host fetch (the harness tunnel
+        # pays ~100ms per D2H round trip, so per-variable fetches would
+        # measure the tunnel, not the framework)
+        digest = jnp.stack(
+            [jnp.nansum(v.astype(jnp.float32)) for v in table.values()])
+        return digest, nev
 
     keys = jax.random.split(jax.random.PRNGKey(0), N_BLOCKS + 1)
     blocks = [gen(k) for k in keys]
@@ -69,15 +77,20 @@ def main():
         _ = float(b[0, 0])
 
     # warmup / compile
-    imax, dur, nev = step(blocks[-1])
+    digest, nev = step(blocks[-1])
     total_warm = int(np.asarray(nev).sum())
+    assert np.isfinite(np.asarray(digest)).all()
 
     t0 = time.perf_counter()
     # dispatch all blocks (async), then sync: measures aggregate
     # throughput with compute/transfer overlap, as a production pipeline
-    # would run
+    # would run. Fetch the event counts plus a slice of every table
+    # variable so the whole program is forced.
     outs = [step(b) for b in blocks[:N_BLOCKS]]
-    total_events = sum(int(np.asarray(nev).sum()) for _, _, nev in outs)
+    total_events = 0
+    for digest, nev in outs:
+        total_events += int(np.asarray(nev).sum())
+        _ = np.asarray(digest)
     dt = time.perf_counter() - t0
 
     cells = N_BLOCKS * C

@@ -225,3 +225,33 @@ def test_reference_import_paths(oisst_ts):
         get_rate(np.array([1.4, 2.4, 1.8]), np.array([1.0, 1.5, 2.5]),
                  np.array([1, 10.5, 19.5])),
         [0.4, 0.08571429, -0.03589744], rtol=1e-6)
+
+
+def test_compact_events_layout(mhw_oisst, oisst_ts):
+    """detect(events_layout='compact') + block_average/mhw_rank give the
+    same statistics as the union layout."""
+    clim = xm.threshold(oisst_ts, dtype=np.float64)
+    compact = xm.detect(oisst_ts, clim["thresh"], clim["seas"],
+                        dtype=np.float64, events_layout="compact")
+    assert compact["event"].dims == ("ev", "lat", "lon")
+    union, _ = mhw_oisst
+    # same number of events
+    assert np.isfinite(compact["event"].data).sum() == np.isfinite(
+        union["event"].data).sum()
+    # same sorted per-cell event start indexes
+    cu = union["event"].sel(lat=-42.625, lon=148.125).values
+    cc = compact["event"].sel(lat=-42.625, lon=148.125).values
+    np.testing.assert_array_equal(np.sort(cu[np.isfinite(cu)]),
+                                  np.sort(cc[np.isfinite(cc)]))
+    # block stats identical
+    b1 = xm.block_average(union, period=[2003, 2004])
+    b2 = xm.block_average(compact, period=[2003, 2004])
+    for v in ("ecount", "duration", "intensity_max", "total_icum"):
+        np.testing.assert_allclose(np.nan_to_num(b1[v].data),
+                                   np.nan_to_num(b2[v].data), err_msg=v)
+    # rank works on the compact layout
+    rank, _ = xm.mhw_rank(compact)
+    r = rank["intensity_max"].sel(lat=-42.625, lon=148.125).values
+    fin = np.isfinite(r)
+    np.testing.assert_array_equal(np.sort(r[fin]),
+                                  np.arange(1, fin.sum() + 1))

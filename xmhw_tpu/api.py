@@ -224,12 +224,19 @@ def detect(
     dtype=None,
     cell_block=None,
     mesh=None,
+    events_layout="union",
 ):
     """Apply the Hobday et al. (2016) MHW definition; return event dataset.
 
     Reference-compatible API (xmhw/xmhw.py:310-518). Returns the event
     Dataset (dims: events [x lat x lon ...]); with ``intermediate=True``
     also returns the per-day intermediate Dataset.
+
+    ``events_layout``: "union" (reference layout — the events dimension is
+    the union of start indexes across cells, NaN elsewhere) or "compact"
+    (dims (ev, ...) with per-cell event slots — O(max events/cell) instead
+    of O(total distinct events); use for planet-scale grids where the
+    union layout would explode; block_average/mhw_rank accept both).
     """
     if maxGap >= minDuration:
         raise XmhwException(
@@ -285,7 +292,12 @@ def detect(
     )
 
     time_vals = tindex.values
-    mhw = _assemble_events(tables, time_vals, point, ts, tdim, ds_attrs)
+    if events_layout == "compact":
+        mhw = _assemble_events_compact(tables, n_events, time_vals, point,
+                                       ts, tdim, ds_attrs)
+    else:
+        mhw = _assemble_events(tables, time_vals, point, ts, tdim,
+                               ds_attrs)
     if coldSpells:
         mhw = flip_cold(mhw)
     mhw = annotate_ds(mhw, ds_attrs, "mhw")
@@ -352,6 +364,47 @@ def _assemble_events(tables, time_vals, point, ts, tdim, ds_attrs):
             for d in grid_dims:
                 coords[d] = Coord((d,), uniques[d], ds_attrs.get(d, {}))
             ds[name] = DataArray(full, ("events", *grid_dims), coords)
+    return ds
+
+
+def _assemble_events_compact(tables, n_events, time_vals, point, ts, tdim,
+                             ds_attrs):
+    """Compact layout: dims (ev, ...) with per-cell event slots.
+
+    Rows beyond a cell's event count are NaN/NaT padded. Memory scales
+    with max-events-per-cell, not the global union — the layout for
+    planet-scale stats pipelines.
+    """
+    kmax = max(int(n_events.max()), 1) if n_events.size else 1
+    time_like = {"time_start", "time_end", "time_peak"}
+    ev_coord = Coord(("ev",), np.arange(kmax),
+                     {"long_name": "per-cell MHW event slot"})
+    per_var = {}
+    for name, tab in tables.items():
+        tab = tab[:kmax]
+        if name in time_like:
+            idx = tab.astype(np.int64)
+            v = time_vals[np.clip(idx, 0, len(time_vals) - 1)]
+            if np.issubdtype(np.asarray(time_vals).dtype, np.datetime64):
+                v = np.where(idx >= 0, v, np.datetime64("NaT"))
+            else:
+                v = np.where(idx >= 0, v, np.nan)
+            per_var[name] = v
+        else:
+            per_var[name] = tab
+    ds = Dataset()
+    if point:
+        for name, out in per_var.items():
+            ds[name] = DataArray(out[:, 0], ("ev",), {"ev": ev_coord})
+    else:
+        cell_coords = _cell_coords(ts)
+        grid_dims = sorted(cell_coords)
+        for name, out in per_var.items():
+            full, uniques = unstack_cell(out, cell_coords, grid_dims)
+            coords = {"ev": ev_coord}
+            for d in grid_dims:
+                coords[d] = Coord((d,), uniques[d], ds_attrs.get(d, {}))
+            ds[name] = DataArray(full, ("ev", *grid_dims), coords)
     return ds
 
 

@@ -97,41 +97,70 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     fin_ap = jnp.isfinite(anom_plus) & day
     fin_am = jnp.isfinite(anom_minus) & day
 
-    # ---- compaction geometry (one binary search, no scatters) ------------
-    targets = jnp.arange(1, K + 1, dtype=_I32)
-    cum_end = jnp.cumsum(is_end.astype(_I32), axis=0)
-    end_pos = jnp.minimum(_ss_cols(cum_end, targets), T - 1).astype(_I32)
+    # ---- compaction geometry: event end days via top_k (no scatters) -----
+    # smallest K end-day indices per cell == largest K of (-idx | -big)
+    neg_ends = jnp.where(is_end, -idx, -bigi)  # (T, C)
+    if K > T:  # tiny series: top_k needs k <= axis size
+        neg_ends = jnp.concatenate(
+            [neg_ends, jnp.full((K - T, C), -bigi, _I32)], axis=0)
+    topv, _ = lax.top_k(neg_ends.T, K)  # (C, K) descending == idx ascending
+    end_pos = jnp.minimum(-topv.T, T - 1).astype(_I32)  # (K, C)
     valid = (lax.broadcasted_iota(_I32, (K, C), 0) < n_events[None, :])
 
     def at_end(x):
         return jnp.take_along_axis(x, end_pos, axis=0)
 
     start = at_end(jnp.where(day, f["ev_start"], 0)).astype(_I32)
-    end = at_end(idx).astype(_I32)
+    end = jnp.where(valid, end_pos, 0)
     endp1 = end + 1
 
-    # ---- prefix sums, gathered at (K, C) only ----------------------------
-    def prefix(x):
-        P = jnp.cumsum(x, axis=0)
-        return jnp.concatenate([jnp.zeros((1, C), P.dtype), P], axis=0)
-
-    def rng(P):
-        return (jnp.take_along_axis(P, endp1, axis=0)
-                - jnp.take_along_axis(P, start, axis=0))
-
+    # ---- ALL prefix sums in one stacked MXU blocked cumsum ----------------
     # per-cell shift constants for numerically safe single-pass variance
     def cell_shift(x, fin):
         s = jnp.sum(jnp.where(fin, x, 0), axis=0, keepdims=True)
         n = jnp.sum(fin, axis=0, keepdims=True)
         return (s / jnp.maximum(n, 1)).astype(dt)
 
-    def stats(x, fin):
-        """(n, sum, mean, std[ddof=1]) over each event span."""
-        a = cell_shift(x, fin)
-        xs = jnp.where(fin, x - a, 0).astype(dt)
-        n = rng(prefix(fin.astype(dt)))
-        s_sh = rng(prefix(xs))
-        ss_sh = rng(prefix(xs * xs))
+    a_rs = cell_shift(relSeas, fin_rs)
+    a_rt = cell_shift(relThresh, fin_rt)
+    a_sv = cell_shift(severity, fin_sv)
+    a_ma = cell_shift(mabs, fin_ma)
+
+    def shifted(x, fin, a):
+        return jnp.where(fin, x - a, 0).astype(dt)
+
+    xs_rs = shifted(relSeas, fin_rs, a_rs)
+    xs_rt = shifted(relThresh, fin_rt, a_rt)
+    xs_sv = shifted(severity, fin_sv, a_sv)
+    xs_ma = shifted(mabs, fin_ma, a_ma)
+
+    sources = [
+        fin_rs.astype(dt), xs_rs, xs_rs * xs_rs,
+        fin_rt.astype(dt), xs_rt, xs_rt * xs_rt,
+        fin_sv.astype(dt), xs_sv, xs_sv * xs_sv,
+        fin_ma.astype(dt), xs_ma, xs_ma * xs_ma,
+        jnp.where(day, dur_moderate, False).astype(dt),
+        jnp.where(day, dur_strong, False).astype(dt),
+        jnp.where(day, dur_severe, False).astype(dt),
+        jnp.where(day, dur_extreme, False).astype(dt),
+        (fin_ct & day).astype(dt),
+    ]
+    from ..ops.scans import mxu_cumsum
+
+    S = jnp.stack(sources, axis=-1)  # (T, C, NS)
+    NS = S.shape[-1]
+    P = jnp.concatenate(
+        [jnp.zeros((1, C, NS), S.dtype), mxu_cumsum(S, axis=0)], axis=0)
+    # ONE sliced gather per boundary: each (k, c) index fetches an
+    # NS-contiguous row slice — ~NSx fewer gather descriptors
+    hi = jnp.take_along_axis(P, endp1[:, :, None], axis=0)
+    lo_ = jnp.take_along_axis(P, start[:, :, None], axis=0)
+    R = hi - lo_  # (K, C, NS)
+
+    def stats_from(i, a):
+        n = R[..., i]
+        s_sh = R[..., i + 1]
+        ss_sh = R[..., i + 2]
         mean_sh = jnp.where(n > 0, s_sh / jnp.maximum(n, 1.0), nan)
         var = (ss_sh - n * mean_sh * mean_sh) / jnp.maximum(n - 1.0, 1.0)
         std = jnp.sqrt(jnp.maximum(var, 0.0))
@@ -140,16 +169,13 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
         total = jnp.where(n > 0, s_sh + n * a[0][None, :], nan)
         return n, total, mean, std
 
-    n_rs, sum_rs, mean_rs, std_rs = stats(relSeas, fin_rs)
-    n_rt, sum_rt, mean_rt, std_rt = stats(relThresh, fin_rt)
-    n_sv, sum_sv, mean_sv, std_sv = stats(severity, fin_sv)
-    n_ma, sum_ma, mean_ma, std_ma = stats(mabs, fin_ma)
-
-    dur_mod = rng(prefix(jnp.where(day, dur_moderate, False).astype(dt)))
-    dur_str = rng(prefix(jnp.where(day, dur_strong, False).astype(dt)))
-    dur_sev = rng(prefix(jnp.where(day, dur_severe, False).astype(dt)))
-    dur_ext = rng(prefix(jnp.where(day, dur_extreme, False).astype(dt)))
-    n_ct = rng(prefix((fin_ct & day).astype(dt)))
+    n_rs, sum_rs, mean_rs, std_rs = stats_from(0, a_rs)
+    n_rt, sum_rt, mean_rt, std_rt = stats_from(3, a_rt)
+    n_sv, sum_sv, mean_sv, std_sv = stats_from(6, a_sv)
+    n_ma, sum_ma, mean_ma, std_ma = stats_from(9, a_ma)
+    dur_mod, dur_str, dur_sev, dur_ext = (R[..., i] for i in
+                                          range(12, 16))
+    n_ct = R[..., 16]
 
     # ---- ONE fused segmented scan: max/argmax + first/last finite --------
     carrier = (
@@ -183,25 +209,57 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     (dmax_rs, dpeak, dmax_sv, dmax_ct, dff_rs, dlf_rs, dff_ap, dlf_am,
      _) = lax.associative_scan(comb, carrier, axis=0)
 
-    max_rs = jnp.where(valid & (n_rs > 0), at_end(dmax_rs), nan)
-    peak = at_end(dpeak).astype(_I32)
-    max_sv = jnp.where(valid & (n_sv > 0), at_end(dmax_sv), nan)
-    max_ct = jnp.where(valid & (n_ct > 0), at_end(dmax_ct), nan)
-    i_rs_first = at_end(dff_rs)
-    i_rs_last = at_end(dlf_rs)
-    i_ap_first = at_end(dff_ap)
-    i_am_last = at_end(dlf_am)
+    if dt == jnp.float32:
+        # one sliced gather for all scan outputs (bitcast floats to int32
+        # so the stack is homogeneous; bit patterns survive the roundtrip)
+        scan_stack = jnp.stack([
+            lax.bitcast_convert_type(dmax_rs, _I32),
+            lax.bitcast_convert_type(dmax_sv, _I32),
+            lax.bitcast_convert_type(dmax_ct, _I32),
+            dpeak, dff_rs, dlf_rs, dff_ap, dlf_am,
+        ], axis=-1)
+        G = jnp.take_along_axis(scan_stack, end_pos[:, :, None], axis=0)
 
-    def gather_day(x, pos, ok):
-        v = jnp.take_along_axis(x, jnp.clip(pos, 0, T - 1), axis=0)
-        return jnp.where(valid & ok, v, nan)
+        def _f32(i):
+            return lax.bitcast_convert_type(G[..., i], jnp.float32)
 
-    relS_first = gather_day(relSeas, i_rs_first, i_rs_first < bigi)
-    relS_last = gather_day(relSeas, i_rs_last, i_rs_last >= 0)
-    anom_first = gather_day(anom_plus, i_ap_first, i_ap_first < bigi)
-    anom_last = gather_day(anom_minus, i_am_last, i_am_last >= 0)
-    int_max_relT = gather_day(relThresh, peak, n_rs > 0)
-    int_max_abs = gather_day(mabs, peak, n_rs > 0)
+        e_max_rs, e_max_sv, e_max_ct = _f32(0), _f32(1), _f32(2)
+        peak = G[..., 3]
+        i_rs_first, i_rs_last = G[..., 4], G[..., 5]
+        i_ap_first, i_am_last = G[..., 6], G[..., 7]
+    else:
+        # float64 parity path (CPU): plain per-array gathers
+        e_max_rs = at_end(dmax_rs)
+        e_max_sv = at_end(dmax_sv)
+        e_max_ct = at_end(dmax_ct)
+        peak = at_end(dpeak)
+        i_rs_first = at_end(dff_rs)
+        i_rs_last = at_end(dlf_rs)
+        i_ap_first = at_end(dff_ap)
+        i_am_last = at_end(dlf_am)
+
+    max_rs = jnp.where(valid & (n_rs > 0), e_max_rs, nan)
+    max_sv = jnp.where(valid & (n_sv > 0), e_max_sv, nan)
+    max_ct = jnp.where(valid & (n_ct > 0), e_max_ct, nan)
+
+    # one sliced gather for the six value lookups: stack sources, then
+    # gather each column's slice at its own position via a flat index
+    val_stack = jnp.stack([relSeas, relSeas, anom_plus, anom_minus,
+                           relThresh, mabs], axis=-1)  # (T, C, 6)
+    pos_stack = jnp.stack([i_rs_first, i_rs_last, i_ap_first, i_am_last,
+                           peak, peak], axis=-1)  # (K, C, 6)
+    V = jnp.take_along_axis(val_stack,
+                            jnp.clip(pos_stack, 0, T - 1), axis=0)
+
+    def _val(i, ok):
+        return jnp.where(valid & ok, V[..., i], nan)
+
+    relS_first = _val(0, i_rs_first < bigi)
+    relS_last = _val(1, i_rs_last >= 0)
+    anom_first = _val(2, i_ap_first < bigi)
+    anom_last = _val(3, i_am_last >= 0)
+    int_max_relT = _val(4, n_rs > 0)
+    int_max_abs = _val(5, n_rs > 0)
 
     # ---- closed-form properties (reference: features.py:161-295) ----------
     startf = jnp.where(valid, start, 0).astype(dt)

@@ -196,7 +196,8 @@ def block_average(
     bin_idx = np.clip(bin_idx, 0, nbins - 1)
     flat_valid = flat_valid & in_range
 
-    grid_dims = [d for d in mhw[mtime].dims if d != "events"]
+    ev_dim = mhw[mtime].dims[0]  # "events" (union) or "ev" (compact)
+    grid_dims = [d for d in mhw[mtime].dims if d != ev_dim]
     grid_shape = tuple(mhw[mtime].sizes[d] for d in grid_dims)
 
     out = Dataset()
@@ -322,9 +323,11 @@ def mhw_rank(mhwds, nYears=None):
     ]
     for var in variables:
         da = mhwds[var]
-        if "events" not in da.dims:
+        ev_dim = "events" if "events" in da.dims else (
+            "ev" if "ev" in da.dims else None)
+        if ev_dim is None:
             continue
-        ax = da.dims.index("events")
+        ax = da.dims.index(ev_dim)
         r = rank_variable(da.data, axis=ax)
         rank[var] = da.copy(data=r)
         return_period[var] = da.copy(data=(nYears + 1) / r)
