@@ -90,3 +90,32 @@ def test_360day_forces_tstep(oisst_ts):
          "lon": Coord(("lon",), [0.0, 1.0])})
     clim = xm.threshold(da, dtype=np.float64)
     assert clim["thresh"].sizes["doy"] == 360
+
+
+def test_monthly_tstep_end_to_end(oisst_ts):
+    """BASELINE config 4: monthly-mean SST climatology + detection via the
+    tstep path (reference: docs mention non-daily support via tstep)."""
+    import pandas as pd
+
+    from xmhw_tpu.xrlite import Coord, DataArray
+
+    # monthly means of the OISST fixture (2 years -> 24 steps)
+    vals = np.asarray(oisst_ts.values, np.float64)
+    t = oisst_ts.coords["time"].values
+    months = t.values.astype("datetime64[M]")
+    um = np.unique(months)
+    monthly = np.stack([vals[months == m].mean(axis=0) for m in um])
+    mt = um.astype("datetime64[ns]")
+    da = DataArray(monthly, ("time", "lat", "lon"),
+                   {"time": Coord(("time",), mt),
+                    "lat": oisst_ts.coords["lat"],
+                    "lon": oisst_ts.coords["lon"]})
+    clim = xm.threshold(da, tstep=True, windowHalfWidth=1,
+                        smoothPercentile=False, dtype=np.float64)
+    assert clim["thresh"].sizes["doy"] == 12
+    mhw = xm.detect(da, clim["thresh"], clim["seas"], tstep=True,
+                    minDuration=2, maxGap=1, dtype=np.float64)
+    # any events found must respect minDuration in steps
+    d = mhw["duration"].data
+    if np.isfinite(d).any():
+        assert np.nanmin(d) >= 2
