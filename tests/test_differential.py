@@ -1,0 +1,111 @@
+"""Differential tests: the framework vs an independent naive numpy oracle
+(tests/oracle.py) on randomized data. Agreement between two independent
+implementations of the Hobday pipeline is the strongest whole-chain
+correctness evidence available without the reference's dependency stack.
+"""
+
+import numpy as np
+import pytest
+
+import xmhw_tpu as xm
+from oracle import clim_oracle, events_oracle
+from xmhw_tpu.xrlite import Coord, DataArray
+
+
+def _grid(seed, T_years=3, nlat=2, nlon=2, nan_frac=0.0, land=False):
+    rng = np.random.default_rng(seed)
+    t = np.arange("2001-01-01", f"{2001 + T_years}-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")
+    T = len(t)
+    day = np.arange(T)[:, None, None]
+    base = 14 + 4 * np.sin(2 * np.pi * day / 365.25)
+    noise = rng.normal(0, 1, (T + 14, nlat, nlon))
+    sm = np.stack([noise[k:k + T] for k in range(15)]).mean(0)
+    ts = base + 3.0 * sm + rng.normal(0, 0.5, (1, nlat, nlon))
+    if nan_frac:
+        mask = rng.random(ts.shape) < nan_frac
+        ts[mask] = np.nan
+    if land:
+        ts[:, 0, 0] = np.nan
+    return DataArray(
+        ts, ("time", "lat", "lon"),
+        {"time": Coord(("time",), t),
+         "lat": Coord(("lat",), np.arange(nlat, dtype=float)),
+         "lon": Coord(("lon",), np.arange(nlon, dtype=float))})
+
+
+@pytest.mark.parametrize("seed,nan_frac,land", [
+    (0, 0.0, False),
+    (1, 0.02, False),
+    (2, 0.0, True),
+])
+def test_threshold_vs_oracle(seed, nan_frac, land):
+    da = _grid(seed, nan_frac=nan_frac, land=land)
+    clim = xm.threshold(da, dtype=np.float64)
+    from xmhw_tpu.core.calendar import compute_doy
+    from xmhw_tpu.xrlite import TimeIndex
+
+    doy, ndoy = compute_doy(TimeIndex(np.asarray(
+        da.coords["time"].values)))
+    for la in range(da.sizes["lat"]):
+        for lo in range(da.sizes["lon"]):
+            col = np.asarray(da.data[:, la, lo], np.float64)
+            if np.isnan(col).all():
+                continue
+            th_o, se_o = clim_oracle(col, doy, ndoy)
+            th_f = clim["thresh"].sel(lat=float(la), lon=float(lo)).values
+            se_f = clim["seas"].sel(lat=float(la), lon=float(lo)).values
+            np.testing.assert_allclose(th_f, th_o, atol=1e-10,
+                                       equal_nan=True)
+            np.testing.assert_allclose(se_f, se_o, atol=1e-10,
+                                       equal_nan=True)
+
+
+@pytest.mark.parametrize("seed,md,mg,join,nan_frac", [
+    (0, 5, 2, True, 0.0),
+    (1, 5, 3, True, 0.02),
+    (2, 3, 2, True, 0.0),
+    (3, 5, 2, False, 0.0),
+    (4, 7, 4, True, 0.05),
+])
+def test_detect_vs_oracle(seed, md, mg, join, nan_frac):
+    da = _grid(seed, T_years=4, nan_frac=nan_frac)
+    clim = xm.threshold(da, dtype=np.float64)
+    mhw = xm.detect(da, clim["thresh"], clim["seas"], minDuration=md,
+                    joinGaps=join, maxGap=mg, dtype=np.float64)
+    from xmhw_tpu.core.calendar import compute_doy
+    from xmhw_tpu.xrlite import TimeIndex
+
+    tvals = np.asarray(da.coords["time"].values)
+    doy, ndoy = compute_doy(TimeIndex(tvals))
+    checked_events = 0
+    for la in range(da.sizes["lat"]):
+        for lo in range(da.sizes["lon"]):
+            col = np.asarray(da.data[:, la, lo], np.float64)
+            th = clim["thresh"].sel(lat=float(la), lon=float(lo)).values
+            se = clim["seas"].sel(lat=float(la), lon=float(lo)).values
+            th_t = th[doy - 1]
+            se_t = se[doy - 1]
+            evs = events_oracle(col, th_t, se_t, md, join, mg)
+            # framework events for this cell
+            fev = {}
+            labels = mhw["event"].sel(lat=float(la), lon=float(lo)).values
+            fin = np.isfinite(labels)
+            assert fin.sum() == len(evs), (la, lo)
+            rows = np.nonzero(fin)[0]
+            for k in mhw.keys():
+                if k in ("lat", "lon") or "time" in k:
+                    continue
+                fev[k] = mhw[k].sel(lat=float(la),
+                                    lon=float(lo)).values[rows]
+            order = np.argsort(labels[fin])
+            for j, ev in enumerate(sorted(evs,
+                                          key=lambda d: d["event"])):
+                checked_events += 1
+                for prop, want in ev.items():
+                    got = fev[prop][order[j]]
+                    np.testing.assert_allclose(
+                        got, want, rtol=1e-8, atol=1e-8, equal_nan=True,
+                        err_msg=f"{prop} cell=({la},{lo}) ev={j} "
+                                f"seed={seed}")
+    assert checked_events > 10  # the configs must actually produce events
