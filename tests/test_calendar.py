@@ -95,7 +95,7 @@ def test_360day_forces_tstep(oisst_ts):
 def test_monthly_tstep_end_to_end(oisst_ts):
     """BASELINE config 4: monthly-mean SST climatology + detection via the
     tstep path (reference: docs mention non-daily support via tstep)."""
-    import pandas as pd
+
 
     from xmhw_tpu.xrlite import Coord, DataArray
 

@@ -3,7 +3,6 @@ coverage, reference: test/test_identify.py:57-88)."""
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from xmhw_tpu.core.calendar import build_window_index
 from xmhw_tpu.core.clim import doy_clim, feb29_patch, runavg_circular

@@ -3,7 +3,6 @@
 plus flip_cold (reference: test/test_features.py:92-103)."""
 
 import numpy as np
-import pytest
 
 import xmhw_tpu as xm
 from xmhw_tpu.xrlite import Coord, DataArray, Dataset

@@ -8,7 +8,6 @@ compiles and runs under jit with NamedSharding inputs.
 
 import jax
 import numpy as np
-import pytest
 
 import xmhw_tpu as xm
 from xmhw_tpu.parallel import cell_mesh, cell_sharding, pad_cells

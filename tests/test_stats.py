@@ -173,8 +173,7 @@ def test_reference_import_paths(oisst_ts):
     """Users of the reference import from xmhw.xmhw / xmhw.identify /
     xmhw.stats; the same paths work here."""
     from xmhw_tpu.xmhw import detect, threshold  # noqa: F401
-    from xmhw_tpu.identify import (add_doy, feb29, get_calendar,
-                                   land_check, mhw_filter, runavg)
+    from xmhw_tpu.identify import add_doy, feb29, mhw_filter, runavg
     from xmhw_tpu.features import get_edge, get_period, get_rate
     from xmhw_tpu.stats import block_average, mhw_rank  # noqa: F401
     from xmhw_tpu.xrlite import DataArray, Coord
