@@ -59,3 +59,24 @@ def test_pipeline_pallas_flag_cpu(window_tables, monkeypatch):
     ts = rng.normal(15, 2, (T, 40)).astype(np.float64)
     a = P.run_clim(ts, doy, 5, ndoy, 90, True, 31, True)
     assert a[0].shape == (ndoy, 40)
+
+
+def test_run_bound_kernel():
+    """Pallas running-bound primitive (forward/backward RLE scans)."""
+    import jax.numpy as jnp
+
+    from xmhw_tpu.ops.pallas.run_bound import run_bound
+
+    rng = np.random.default_rng(0)
+    T, C = 3001, 256
+    m = rng.random((T, C)) > 0.6
+    idx = np.arange(T)[:, None]
+    fwd_ref = np.maximum.accumulate(np.where(m, idx, -1), axis=0)
+    bwd_ref = np.minimum.accumulate(
+        np.where(m, idx, T)[::-1], axis=0)[::-1]
+    np.testing.assert_array_equal(
+        np.asarray(run_bound(jnp.asarray(m), True, interpret=True)),
+        fwd_ref)
+    np.testing.assert_array_equal(
+        np.asarray(run_bound(jnp.asarray(m), False, interpret=True)),
+        bwd_ref)
