@@ -254,3 +254,43 @@ def test_compact_events_layout(mhw_oisst, oisst_ts):
     fin = np.isfinite(r)
     np.testing.assert_array_equal(np.sort(r[fin]),
                                   np.arange(1, fin.sum() + 1))
+
+
+def test_calc_clim_and_window_roll(oisst_ts, clim_oisst):
+    """calc_clim / window_roll / calculate_thresh / calculate_seas /
+    join_events parity helpers (reference: xmhw.py:250-307,
+    identify.py:184-270, 532-536)."""
+    from xmhw_tpu.identify import (calculate_seas, calculate_thresh,
+                                   join_events, window_roll)
+    from xmhw_tpu.xmhw import calc_clim
+
+    pt = oisst_ts.sel(lat=-42.625, lon=148.125)
+    th, se = calc_clim(pt, skipna=True)
+    np.testing.assert_array_almost_equal(
+        clim_oisst["thresh1"].values[82:], th.values[82:])
+    np.testing.assert_array_almost_equal(
+        clim_oisst["seas1"].values[82:], se.values[82:], decimal=4)
+
+    # window_roll on the first 3 days with w=1 matches the reference's
+    # tstack fixture values (test_identify.py:81-88)
+    sub = pt.sel(time=slice("2003-01-01", "2003-01-03"))
+    tw = window_roll(sub, 1)
+    np.testing.assert_almost_equal(
+        np.sort(tw.values),
+        np.sort([16.99, 17.39, 16.99, 17.39, 17.3, 17.39, 17.3]),
+        decimal=5)
+    # calculate_thresh/seas consume the pooled series
+    th3 = calculate_thresh(tw, 90, tstep=True)
+    se3 = calculate_seas(tw, tstep=True)
+    assert th3.sizes["doy"] == 3 and se3.sizes["doy"] == 3
+    d1 = tw.values[np.asarray(tw.coords["doy"].values) == 1]
+    np.testing.assert_allclose(se3.values[0], d1.mean())
+    np.testing.assert_allclose(th3.values[0], np.quantile(d1, 0.9))
+
+    # join_events (reference join fixture, xmhw_fixtures.py:159-166)
+    evs = np.arange(20, dtype=float)
+    out = join_events(evs, {(1, 7), (12, 18)})
+    exp = np.arange(20, dtype=float)
+    exp[1:8] = 1
+    exp[12:19] = 12
+    np.testing.assert_array_equal(out, exp)

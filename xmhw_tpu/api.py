@@ -114,7 +114,7 @@ def threshold(
         raise XmhwException("smoothPercentileWidth should be odd")
     if tdim not in temp.dims:
         raise XmhwException(
-            f"{tdim} dimension not present, default"
+            f"{tdim} dimension not present, default "
             + "is 'time' or pass as tdim='time_dimension_name'"
         )
     if all(climatologyPeriod):

@@ -19,11 +19,15 @@ from .xrlite import Coord, DataArray, TimeIndex
 __all__ = [
     "add_doy",
     "annotate_ds",
+    "calculate_seas",
+    "calculate_thresh",
     "feb29",
     "get_calendar",
+    "join_events",
     "land_check",
     "mhw_filter",
     "runavg",
+    "window_roll",
     "window_roll_index",
 ]
 
@@ -112,3 +116,81 @@ def mhw_filter(bthresh, min_duration=5, join_gaps=True, max_gap=2):
         "end": np.asarray(f["ev_end"]),
     }
     return out
+
+
+def window_roll(ts: DataArray, w: int, tdim: str = "time",
+                keep_tstep: bool = False):
+    """Pooled window values as a flat 'z' series with a doy coordinate.
+
+    Host-side parity helper for the reference's window_roll
+    (identify.py:184-209): returns a 1-D DataArray of every value within
+    +-w steps of each timestep, labeled by the center's doy, NaN values
+    dropped. For a single-cell (1-D) series only; grid pipelines use the
+    gather tables instead.
+    """
+    if len(ts.dims) != 1:
+        raise XmhwException("window_roll parity helper takes a 1-D series")
+    gidx = window_roll_index(ts, w, tdim=tdim, keep_tstep=keep_tstep)
+    vals = np.asarray(ts.data, np.float64)
+    ndoy, Z = gidx.shape
+    flat_vals = []
+    flat_doy = []
+    for d in range(ndoy):
+        members = gidx[d][gidx[d] >= 0]
+        v = vals[members]
+        keep = np.isfinite(v)
+        flat_vals.append(v[keep])
+        flat_doy.append(np.full(keep.sum(), d + 1))
+    data = np.concatenate(flat_vals) if flat_vals else np.zeros(0)
+    doys = np.concatenate(flat_doy) if flat_doy else np.zeros(0, int)
+    return DataArray(data, ("z",), {"doy": Coord(("z",), doys)},
+                     name="twindow")
+
+
+def calculate_thresh(twindow: DataArray, pctile: int = 90,
+                     skipna: bool = False, tstep: bool = False):
+    """Per-doy percentile of a pooled window series
+    (reference: identify.py:212-242). NaNs are already dropped by
+    window_roll, so skipna is accepted for compatibility only."""
+    doys = np.asarray(twindow.coords["doy"].values)
+    vals = np.asarray(twindow.data, np.float64)
+    ndoy = int(doys.max()) if len(doys) else 0
+    out = np.full(ndoy, np.nan)
+    for d in range(1, ndoy + 1):
+        sel = vals[doys == d]
+        if len(sel):
+            out[d - 1] = np.quantile(sel, pctile / 100.0)
+    if not tstep and ndoy >= 61:
+        out[59] = np.nanmean(out[58:61])
+    return DataArray(out, ("doy",),
+                     {"doy": Coord(("doy",), np.arange(1, ndoy + 1))},
+                     name="thresh")
+
+
+def calculate_seas(twindow: DataArray, skipna: bool = False,
+                   tstep: bool = False):
+    """Per-doy mean of a pooled window series
+    (reference: identify.py:245-270)."""
+    doys = np.asarray(twindow.coords["doy"].values)
+    vals = np.asarray(twindow.data, np.float64)
+    ndoy = int(doys.max()) if len(doys) else 0
+    out = np.full(ndoy, np.nan)
+    for d in range(1, ndoy + 1):
+        sel = vals[doys == d]
+        if len(sel):
+            out[d - 1] = sel.mean()
+    if not tstep and ndoy >= 61:
+        out[59] = np.nanmean(out[58:61])
+    return DataArray(out, ("doy",),
+                     {"doy": Coord(("doy",), np.arange(1, ndoy + 1))},
+                     name="seas")
+
+
+def join_events(events: np.ndarray, joined):
+    """Relabel joined event spans (reference: identify.py:532-536):
+    for each (s, e) pair set events[s:e+1] = s. Works on a float array
+    with NaN for non-event entries."""
+    events = np.array(events, dtype=float, copy=True)
+    for s, e in joined:
+        events[int(s):int(e) + 1] = s
+    return events
