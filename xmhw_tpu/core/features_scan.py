@@ -38,15 +38,6 @@ from .events import mhw_filter
 _I32 = jnp.int32
 
 
-def _ss_cols(sorted_cols, targets):
-    """Vectorized per-column searchsorted: first index where
-    sorted_cols[:, c] >= targets[k]."""
-    return jax.vmap(
-        lambda col: jnp.searchsorted(col, targets, side="left"),
-        in_axes=1, out_axes=1,
-    )(sorted_cols)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("K", "min_duration", "join_gaps", "max_gap",

@@ -250,25 +250,6 @@ class DataArray:
         return DataArray(data, keep + [name], coords, dict(self.attrs),
                          self.name)
 
-    def dropna_cell(self, dim, along, how="all"):
-        """Drop slices of ``dim`` that are all/any-NaN along ``along``.
-
-        Mirrors the land-mask drop in the reference's land_check
-        (reference: identify.py:522-525).
-        """
-        ax_along = self.dims.index(along)
-        nan = np.isnan(self.data)
-        reduced = nan.all(axis=ax_along) if how == "all" else nan.any(
-            axis=ax_along)
-        # reduced has dims without `along`; find the axis of `dim` there
-        rdims = [d for d in self.dims if d != along]
-        keep = ~reduced
-        for i, d in enumerate(rdims):
-            if d != dim:
-                keep = keep.any(axis=i if i < rdims.index(dim) else i)
-        keep_idx = np.nonzero(np.atleast_1d(keep))[0]
-        return self.isel(**{dim: keep_idx})
-
     # -- NaN handling -----------------------------------------------------------
     def interpolate_na(self, dim, max_gap=None):
         """Linearly fill NaN runs along ``dim``.
