@@ -206,3 +206,49 @@ def test_detect_maxpad(oisst_ts):
     mhw = xm.detect(gappy, clim["thresh"], clim["seas"], maxPadLength=3,
                     dtype=np.float64)
     assert "interpolation" in mhw.attrs["xmhw_parameters"]
+
+
+def test_regional_grid_multiblock(oisst_ts):
+    """BASELINE config 2 shape: regional grid with a land band, forced
+    through MULTIPLE cell blocks (cell_block < n_cells) — block-boundary
+    results must equal the single-block run."""
+    rng = np.random.default_rng(5)
+    t = np.arange("2001-01-01", "2004-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")
+    T = len(t)
+    day = np.arange(T)[:, None, None]
+    noise = rng.normal(0, 1, (T + 14, 10, 12))
+    sm = np.stack([noise[k:k + T] for k in range(15)]).mean(0)
+    data = 14 + 4 * np.sin(2 * np.pi * day / 365.25) + 3 * sm
+    data[:, 4:6, :] = np.nan  # land band
+    da = xm.DataArray(
+        data, ("time", "lat", "lon"),
+        {"time": (("time",), t),
+         "lat": (("lat",), np.arange(10.0)),
+         "lon": (("lon",), np.arange(12.0))})
+
+    clim_multi = xm.threshold(da, dtype=np.float64, cell_block=32)
+    clim_one = xm.threshold(da, dtype=np.float64)
+    np.testing.assert_array_equal(
+        np.nan_to_num(clim_multi["thresh"].data),
+        np.nan_to_num(clim_one["thresh"].data))
+
+    mhw_multi = xm.detect(da, clim_one["thresh"], clim_one["seas"],
+                          dtype=np.float64, cell_block=32)
+    mhw_one = xm.detect(da, clim_one["thresh"], clim_one["seas"],
+                        dtype=np.float64)
+    for v in ("event", "duration", "intensity_max", "rate_decline"):
+        np.testing.assert_array_equal(
+            np.nan_to_num(mhw_multi[v].data),
+            np.nan_to_num(mhw_one[v].data), err_msg=v)
+    # land band dropped from the output grid entirely (land_check +
+    # unstack keep only surviving cell labels, like the reference)
+    assert 4.0 not in mhw_one.coords["lat"].values
+    assert 5.0 not in mhw_one.coords["lat"].values
+    assert mhw_one["event"].sizes["lat"] == 8
+    # anynans drops cells with any missing value
+    data2 = np.array(data, copy=True)
+    data2[100, 0, 0] = np.nan
+    da2 = da.copy(data=data2)
+    c2 = xm.threshold(da2, anynans=True, dtype=np.float64)
+    assert np.isnan(c2["thresh"].data[:, 0, 0]).all()
