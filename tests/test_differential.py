@@ -109,3 +109,44 @@ def test_detect_vs_oracle(seed, md, mg, join, nan_frac):
                         err_msg=f"{prop} cell=({la},{lo}) ev={j} "
                                 f"seed={seed}")
     assert checked_events > 10  # the configs must actually produce events
+
+
+def test_block_average_vs_oracle(oisst_ts):
+    """Naive per-cell/per-year loops vs the vectorized block_average."""
+    clim = xm.threshold(oisst_ts, dtype=np.float64)
+    mhw = xm.detect(oisst_ts, clim["thresh"], clim["seas"],
+                    dtype=np.float64)
+    blk = xm.block_average(mhw, period=[2003, 2004])
+
+    lats = mhw.coords["lat"].values
+    lons = mhw.coords["lon"].values
+    for la in lats:
+        for lo in lons:
+            starts = mhw["time_start"].sel(lat=la, lon=lo).values
+            years = starts.astype("datetime64[Y]").astype(int) + 1970
+            ok = ~np.isnat(starts)
+            for bi, year in enumerate((2003, 2004)):
+                sel = ok & (years == year)
+                # naive aggregations
+                def naive(var, how):
+                    v = mhw[var].sel(lat=la, lon=lo).values[sel]
+                    v = v[np.isfinite(v)]
+                    if len(v) == 0:
+                        return np.nan
+                    return {"mean": np.mean, "max": np.max,
+                            "sum": np.sum}[how](v)
+
+                got = blk["ecount"].sel(lat=la, lon=lo).values[bi]
+                np.testing.assert_allclose(got, sel.sum())
+                for out, var, how in (
+                        ("duration", "duration", "mean"),
+                        ("intensity_max", "intensity_max", "mean"),
+                        ("intensity_max_max", "intensity_max", "max"),
+                        ("total_icum", "intensity_cumulative", "sum"),
+                        ("rate_onset", "rate_onset", "mean"),
+                        ("severity_cumulative", "severity_cumulative",
+                         "mean")):
+                    got = blk[out].sel(lat=la, lon=lo).values[bi]
+                    np.testing.assert_allclose(
+                        got, naive(var, how), equal_nan=True,
+                        err_msg=f"{out} {la} {lo} {year}")
