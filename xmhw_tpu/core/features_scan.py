@@ -138,20 +138,21 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     ]
     from ..ops.scans import mxu_cumsum
 
-    S = jnp.stack(sources, axis=-1)  # (T, C, NS)
-    NS = S.shape[-1]
+    # (T, NS, C) layout measured fastest on TPU for the cumsum + the
+    # broadcast boundary gathers (vs (T,C,NS) and (NS,T,C))
+    S = jnp.stack(sources, axis=1)  # (T, NS, C)
+    NS = S.shape[1]
     P = jnp.concatenate(
-        [jnp.zeros((1, C, NS), S.dtype), mxu_cumsum(S, axis=0)], axis=0)
-    # ONE sliced gather per boundary: each (k, c) index fetches an
-    # NS-contiguous row slice — ~NSx fewer gather descriptors
-    hi = jnp.take_along_axis(P, endp1[:, :, None], axis=0)
-    lo_ = jnp.take_along_axis(P, start[:, :, None], axis=0)
-    R = hi - lo_  # (K, C, NS)
+        [jnp.zeros((1, NS, C), S.dtype), mxu_cumsum(S, axis=0)], axis=0)
+    # ONE batched gather per boundary (indices broadcast over channels)
+    hi = jnp.take_along_axis(P, endp1[:, None, :], axis=0)
+    lo_ = jnp.take_along_axis(P, start[:, None, :], axis=0)
+    R = hi - lo_  # (K, NS, C)
 
     def stats_from(i, a):
-        n = R[..., i]
-        s_sh = R[..., i + 1]
-        ss_sh = R[..., i + 2]
+        n = R[:, i, :]
+        s_sh = R[:, i + 1, :]
+        ss_sh = R[:, i + 2, :]
         mean_sh = jnp.where(n > 0, s_sh / jnp.maximum(n, 1.0), nan)
         var = (ss_sh - n * mean_sh * mean_sh) / jnp.maximum(n - 1.0, 1.0)
         std = jnp.sqrt(jnp.maximum(var, 0.0))
@@ -164,9 +165,9 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     n_rt, sum_rt, mean_rt, std_rt = stats_from(3, a_rt)
     n_sv, sum_sv, mean_sv, std_sv = stats_from(6, a_sv)
     n_ma, sum_ma, mean_ma, std_ma = stats_from(9, a_ma)
-    dur_mod, dur_str, dur_sev, dur_ext = (R[..., i] for i in
+    dur_mod, dur_str, dur_sev, dur_ext = (R[:, i, :] for i in
                                           range(12, 16))
-    n_ct = R[..., 16]
+    n_ct = R[:, 16, :]
 
     # ---- ONE fused segmented scan: max/argmax + first/last finite --------
     carrier = (
@@ -208,16 +209,16 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
             lax.bitcast_convert_type(dmax_sv, _I32),
             lax.bitcast_convert_type(dmax_ct, _I32),
             dpeak, dff_rs, dlf_rs, dff_ap, dlf_am,
-        ], axis=-1)
-        G = jnp.take_along_axis(scan_stack, end_pos[:, :, None], axis=0)
+        ], axis=1)  # (T, 8, C)
+        G = jnp.take_along_axis(scan_stack, end_pos[:, None, :], axis=0)
 
         def _f32(i):
-            return lax.bitcast_convert_type(G[..., i], jnp.float32)
+            return lax.bitcast_convert_type(G[:, i, :], jnp.float32)
 
         e_max_rs, e_max_sv, e_max_ct = _f32(0), _f32(1), _f32(2)
-        peak = G[..., 3]
-        i_rs_first, i_rs_last = G[..., 4], G[..., 5]
-        i_ap_first, i_am_last = G[..., 6], G[..., 7]
+        peak = G[:, 3, :]
+        i_rs_first, i_rs_last = G[:, 4, :], G[:, 5, :]
+        i_ap_first, i_am_last = G[:, 6, :], G[:, 7, :]
     else:
         # float64 parity path (CPU): plain per-array gathers
         e_max_rs = at_end(dmax_rs)
@@ -236,14 +237,14 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     # one sliced gather for the six value lookups: stack sources, then
     # gather each column's slice at its own position via a flat index
     val_stack = jnp.stack([relSeas, relSeas, anom_plus, anom_minus,
-                           relThresh, mabs], axis=-1)  # (T, C, 6)
+                           relThresh, mabs], axis=1)  # (T, 6, C)
     pos_stack = jnp.stack([i_rs_first, i_rs_last, i_ap_first, i_am_last,
-                           peak, peak], axis=-1)  # (K, C, 6)
+                           peak, peak], axis=1)  # (K, 6, C)
     V = jnp.take_along_axis(val_stack,
                             jnp.clip(pos_stack, 0, T - 1), axis=0)
 
     def _val(i, ok):
-        return jnp.where(valid & ok, V[..., i], nan)
+        return jnp.where(valid & ok, V[:, i, :], nan)
 
     relS_first = _val(0, i_rs_first < bigi)
     relS_last = _val(1, i_rs_last >= 0)
