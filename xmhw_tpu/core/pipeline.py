@@ -187,6 +187,16 @@ def fused_threshold_detect(ts, gidx, doy_pos, pctile=90, smooth=True,
     return th, se, table, n_events
 
 
+@functools.partial(
+    jax.jit, static_argnames=("min_duration", "join_gaps", "max_gap"))
+def _count_kernel(ts, th, pos, min_duration, join_gaps, max_gap):
+    """Cheap counting pass: events per cell (fixes K before the feature
+    pass). Module-level jit so repeated detect() calls reuse the
+    compilation."""
+    return mhw_filter(ts > th[pos], min_duration=min_duration,
+                      join_gaps=join_gaps, max_gap=max_gap)["n_events"]
+
+
 def _round_k(k: int) -> int:
     """Round event capacity up to limit recompilation (32, then pow2)."""
     k = max(k, 1)
@@ -213,18 +223,14 @@ def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
     runner = CellRunner(C, T, block=block, mesh=mesh)
     doy_pos = None
 
-    count = jax.jit(
-        lambda ts, th, pos: mhw_filter(
-            ts > th[pos], min_duration=min_duration, join_gaps=join_gaps,
-            max_gap=max_gap)["n_events"]
-    )
     kmax = 0
     for lo in runner.blocks():
         ts = runner.device_block(ts_np, lo)
         th = runner.device_block(th_np, lo)
         if doy_pos is None:
             doy_pos = runner.device_replicated(doy_pos_np)
-        n = count(ts, th, doy_pos)
+        n = _count_kernel(ts, th, doy_pos, min_duration=min_duration,
+                          join_gaps=join_gaps, max_gap=max_gap)
         kmax = max(kmax, int(jnp.max(n)))
     K = _round_k(kmax if k_cap is None else min(kmax, k_cap))
 
