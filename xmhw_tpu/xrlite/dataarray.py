@@ -167,18 +167,11 @@ class DataArray:
             if not c.dims:
                 coords[k] = c.copy()
                 continue
-            csl = []
-            drop = False
-            for d in c.dims:
-                s = indexers.get(d, slice(None))
-                csl.append(s)
-                if isinstance(s, (int, np.integer)):
-                    drop = True
+            csl = [indexers.get(d, slice(None)) for d in c.dims]
             vals = c.values[tuple(csl)] if len(csl) > 1 else c.values[csl[0]]
             cdims = tuple(d for d, s in zip(c.dims, csl)
                           if not isinstance(s, (int, np.integer)))
             coords[k] = Coord(cdims, vals, c.attrs)
-            del drop
         return DataArray(data, new_dims, coords, dict(self.attrs), self.name)
 
     def sel(self, **indexers):
