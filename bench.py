@@ -61,7 +61,8 @@ def main():
         th, se = _pallas_clim_block(
             ts_p, starts, lens, ndoy=ndoy, ny=ny, rmax=rmax, pctile=90,
             smooth=True, smooth_w=31, patch_feb29=True)
-        table, nev, _ = detect_kernel(ts_p[:T], th, se, doy_pos, K=K)
+        table, nev, _ = detect_kernel(ts_p[:T], th, se, doy_pos, K=K,
+                                      use_pallas_scan=True)
         # single tiny digest depending on EVERY output variable: forces
         # the full computation with one host fetch (the harness tunnel
         # pays ~100ms per D2H round trip, so per-variable fetches would

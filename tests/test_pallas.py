@@ -80,3 +80,35 @@ def test_run_bound_kernel():
     np.testing.assert_array_equal(
         np.asarray(run_bound(jnp.asarray(m), False, interpret=True)),
         bwd_ref)
+
+
+def test_fused_detect_scans_kernel():
+    """One-pass pallas detect-scan kernel == XLA engine (interpret)."""
+    import jax.numpy as jnp
+
+    from xmhw_tpu.core import features_scan as F2
+
+    rng = np.random.default_rng(3)
+    T, C, D = 700, 128, 40
+    doy_pos = (np.arange(T) % D).astype(np.int32)
+    ts = (15 + 3 * np.sin(2 * np.pi * np.arange(T) / 365)[:, None]
+          + np.cumsum(rng.normal(0, .6, (T, C)), 0) * 0.3).astype(
+              np.float32)
+    ts[50:60, 3] = np.nan
+    th = (16.5 + rng.normal(0, .2, (D, C))).astype(np.float32)
+    se = (15 + rng.normal(0, .1, (D, C))).astype(np.float32)
+    a, na, _ = F2.detect_kernel(jnp.asarray(ts), jnp.asarray(th),
+                                jnp.asarray(se), jnp.asarray(doy_pos),
+                                K=64)
+    b, nb, _ = F2.detect_kernel(jnp.asarray(ts), jnp.asarray(th),
+                                jnp.asarray(se), jnp.asarray(doy_pos),
+                                K=64, use_pallas_scan=True,
+                                pallas_interpret=True)
+    np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
+    for k in a:
+        x = np.asarray(a[k], np.float64)
+        y = np.asarray(b[k], np.float64)
+        m = np.isfinite(x)
+        assert (m == np.isfinite(y)).all(), k
+        np.testing.assert_allclose(x[m], y[m], rtol=2e-3, atol=2e-3,
+                                   err_msg=k)

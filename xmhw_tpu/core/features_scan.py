@@ -41,12 +41,17 @@ _I32 = jnp.int32
 @functools.partial(
     jax.jit,
     static_argnames=("K", "min_duration", "join_gaps", "max_gap",
-                     "intermediate"),
+                     "intermediate", "use_pallas_scan", "pallas_interpret"),
 )
 def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
-                  max_gap=2, intermediate=False):
+                  max_gap=2, intermediate=False, use_pallas_scan=False,
+                  pallas_interpret=False):
     """Scan-based detection pipeline; same contract as
-    features.detect_kernel (see that docstring for parameters)."""
+    features.detect_kernel (see that docstring for parameters).
+
+    ``use_pallas_scan=True`` (float32, C % 128 == 0) routes the prefix
+    sums and the segmented scan through the one-pass Pallas kernel
+    (ops/pallas/detect_scan.py)."""
     T, C = ts.shape
     dt = ts.dtype
     nan = jnp.asarray(jnp.nan, dt)
@@ -125,25 +130,38 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     xs_sv = shifted(severity, fin_sv, a_sv)
     xs_ma = shifted(mabs, fin_ma, a_ma)
 
-    sources = [
-        fin_rs.astype(dt), xs_rs, xs_rs * xs_rs,
-        fin_rt.astype(dt), xs_rt, xs_rt * xs_rt,
-        fin_sv.astype(dt), xs_sv, xs_sv * xs_sv,
-        fin_ma.astype(dt), xs_ma, xs_ma * xs_ma,
-        jnp.where(day, dur_moderate, False).astype(dt),
-        jnp.where(day, dur_strong, False).astype(dt),
-        jnp.where(day, dur_severe, False).astype(dt),
-        jnp.where(day, dur_extreme, False).astype(dt),
-        (fin_ct & day).astype(dt),
-    ]
-    from ..ops.scans import mxu_cumsum
+    if use_pallas_scan:
+        from ..ops.pallas.detect_scan import fused_detect_scans
 
-    # (T, NS, C) layout measured fastest on TPU for the cumsum + the
-    # broadcast boundary gathers (vs (T,C,NS) and (NS,T,C))
-    S = jnp.stack(sources, axis=1)  # (T, NS, C)
-    NS = S.shape[1]
-    P = jnp.concatenate(
-        [jnp.zeros((1, NS, C), S.dtype), mxu_cumsum(S, axis=0)], axis=0)
+        shifts = jnp.concatenate([a_rs, a_rt, a_sv, a_ma], axis=0)
+        Praw, pl_scan = fused_detect_scans(
+            ts, thresh_t, seas_t, anom_plus, anom_minus, day, is_start,
+            shifts, interpret=pallas_interpret)
+        NS = Praw.shape[1]
+        P = jnp.concatenate(
+            [jnp.zeros((1, NS, C), Praw.dtype), Praw], axis=0)
+    else:
+        pl_scan = None
+        sources = [
+            fin_rs.astype(dt), xs_rs, xs_rs * xs_rs,
+            fin_rt.astype(dt), xs_rt, xs_rt * xs_rt,
+            fin_sv.astype(dt), xs_sv, xs_sv * xs_sv,
+            fin_ma.astype(dt), xs_ma, xs_ma * xs_ma,
+            jnp.where(day, dur_moderate, False).astype(dt),
+            jnp.where(day, dur_strong, False).astype(dt),
+            jnp.where(day, dur_severe, False).astype(dt),
+            jnp.where(day, dur_extreme, False).astype(dt),
+            (fin_ct & day).astype(dt),
+        ]
+        from ..ops.scans import mxu_cumsum
+
+        # (T, NS, C) layout measured fastest on TPU for the cumsum + the
+        # broadcast boundary gathers (vs (T,C,NS) and (NS,T,C))
+        S = jnp.stack(sources, axis=1)  # (T, NS, C)
+        NS = S.shape[1]
+        P = jnp.concatenate(
+            [jnp.zeros((1, NS, C), S.dtype), mxu_cumsum(S, axis=0)],
+            axis=0)
     # ONE batched gather per boundary (indices broadcast over channels)
     hi = jnp.take_along_axis(P, endp1[:, None, :], axis=0)
     lo_ = jnp.take_along_axis(P, start[:, None, :], axis=0)
@@ -170,47 +188,9 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     n_ct = R[:, 16, :]
 
     # ---- ONE fused segmented scan: max/argmax + first/last finite --------
-    carrier = (
-        jnp.where(day & fin_rs, relSeas, neg),      # relSeas running max
-        idx,                                        # its first argmax
-        jnp.where(day & fin_sv, severity, neg),     # severity max
-        jnp.where(day & fin_ct, cats, neg),         # cats max
-        jnp.where(day & fin_rs, idx, bigi),         # first finite relSeas
-        jnp.where(day & fin_rs, idx, _I32(-1)),     # last finite relSeas
-        jnp.where(fin_ap, idx, bigi),               # first finite anom_plus
-        jnp.where(fin_am, idx, _I32(-1)),           # last finite anom_minus
-        is_start,                                   # segment reset
-    )
-
-    def comb(a, b):
-        av, ai, asv, act, aff, alf, afa, ala, ar = a
-        bv, bi, bsv, bct, bff, blf, bfa, bla, br = b
-        take_b = br | (bv > av)
-        return (
-            jnp.where(take_b, bv, av),
-            jnp.where(take_b, bi, ai),
-            jnp.where(br, bsv, jnp.maximum(asv, bsv)),
-            jnp.where(br, bct, jnp.maximum(act, bct)),
-            jnp.where(br, bff, jnp.minimum(aff, bff)),
-            jnp.where(br, blf, jnp.maximum(alf, blf)),
-            jnp.where(br, bfa, jnp.minimum(afa, bfa)),
-            jnp.where(br, bla, jnp.maximum(ala, bla)),
-            ar | br,
-        )
-
-    (dmax_rs, dpeak, dmax_sv, dmax_ct, dff_rs, dlf_rs, dff_ap, dlf_am,
-     _) = lax.associative_scan(comb, carrier, axis=0)
-
-    if dt == jnp.float32:
-        # one sliced gather for all scan outputs (bitcast floats to int32
-        # so the stack is homogeneous; bit patterns survive the roundtrip)
-        scan_stack = jnp.stack([
-            lax.bitcast_convert_type(dmax_rs, _I32),
-            lax.bitcast_convert_type(dmax_sv, _I32),
-            lax.bitcast_convert_type(dmax_ct, _I32),
-            dpeak, dff_rs, dlf_rs, dff_ap, dlf_am,
-        ], axis=1)  # (T, 8, C)
-        G = jnp.take_along_axis(scan_stack, end_pos[:, None, :], axis=0)
+    if use_pallas_scan:
+        # segmented scan already ran inside the Pallas kernel
+        G = jnp.take_along_axis(pl_scan, end_pos[:, None, :], axis=0)
 
         def _f32(i):
             return lax.bitcast_convert_type(G[:, i, :], jnp.float32)
@@ -220,15 +200,66 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
         i_rs_first, i_rs_last = G[:, 4, :], G[:, 5, :]
         i_ap_first, i_am_last = G[:, 6, :], G[:, 7, :]
     else:
-        # float64 parity path (CPU): plain per-array gathers
-        e_max_rs = at_end(dmax_rs)
-        e_max_sv = at_end(dmax_sv)
-        e_max_ct = at_end(dmax_ct)
-        peak = at_end(dpeak)
-        i_rs_first = at_end(dff_rs)
-        i_rs_last = at_end(dlf_rs)
-        i_ap_first = at_end(dff_ap)
-        i_am_last = at_end(dlf_am)
+        carrier = (
+            jnp.where(day & fin_rs, relSeas, neg),   # relSeas running max
+            idx,                                     # its first argmax
+            jnp.where(day & fin_sv, severity, neg),  # severity max
+            jnp.where(day & fin_ct, cats, neg),      # cats max
+            jnp.where(day & fin_rs, idx, bigi),      # first finite relSeas
+            jnp.where(day & fin_rs, idx, _I32(-1)),  # last finite relSeas
+            jnp.where(fin_ap, idx, bigi),            # first finite anom+
+            jnp.where(fin_am, idx, _I32(-1)),        # last finite anom-
+            is_start,                                # segment reset
+        )
+
+        def comb(a, b):
+            av, ai, asv, act, aff, alf, afa, ala, ar = a
+            bv, bi, bsv, bct, bff, blf, bfa, bla, br = b
+            take_b = br | (bv > av)
+            return (
+                jnp.where(take_b, bv, av),
+                jnp.where(take_b, bi, ai),
+                jnp.where(br, bsv, jnp.maximum(asv, bsv)),
+                jnp.where(br, bct, jnp.maximum(act, bct)),
+                jnp.where(br, bff, jnp.minimum(aff, bff)),
+                jnp.where(br, blf, jnp.maximum(alf, blf)),
+                jnp.where(br, bfa, jnp.minimum(afa, bfa)),
+                jnp.where(br, bla, jnp.maximum(ala, bla)),
+                ar | br,
+            )
+
+        (dmax_rs, dpeak, dmax_sv, dmax_ct, dff_rs, dlf_rs, dff_ap,
+         dlf_am, _) = lax.associative_scan(comb, carrier, axis=0)
+
+        if dt == jnp.float32:
+            # one sliced gather for all scan outputs (bitcast floats to
+            # int32 so the stack is homogeneous; bit patterns survive)
+            scan_stack = jnp.stack([
+                lax.bitcast_convert_type(dmax_rs, _I32),
+                lax.bitcast_convert_type(dmax_sv, _I32),
+                lax.bitcast_convert_type(dmax_ct, _I32),
+                dpeak, dff_rs, dlf_rs, dff_ap, dlf_am,
+            ], axis=1)  # (T, 8, C)
+            G = jnp.take_along_axis(scan_stack, end_pos[:, None, :],
+                                    axis=0)
+
+            def _f32(i):
+                return lax.bitcast_convert_type(G[:, i, :], jnp.float32)
+
+            e_max_rs, e_max_sv, e_max_ct = _f32(0), _f32(1), _f32(2)
+            peak = G[:, 3, :]
+            i_rs_first, i_rs_last = G[:, 4, :], G[:, 5, :]
+            i_ap_first, i_am_last = G[:, 6, :], G[:, 7, :]
+        else:
+            # float64 parity path (CPU): plain per-array gathers
+            e_max_rs = at_end(dmax_rs)
+            e_max_sv = at_end(dmax_sv)
+            e_max_ct = at_end(dmax_ct)
+            peak = at_end(dpeak)
+            i_rs_first = at_end(dff_rs)
+            i_rs_last = at_end(dlf_rs)
+            i_ap_first = at_end(dff_ap)
+            i_am_last = at_end(dlf_am)
 
     max_rs = jnp.where(valid & (n_rs > 0), e_max_rs, nan)
     max_sv = jnp.where(valid & (n_sv > 0), e_max_sv, nan)

@@ -234,6 +234,9 @@ def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
         kmax = max(kmax, int(jnp.max(n)))
     K = _round_k(kmax if k_cap is None else min(kmax, k_cap))
 
+    use_pallas_scan = (
+        ts_np.dtype == np.float32 and jax.default_backend() != "cpu"
+        and runner.block % 128 == 0 and mesh is None)
     tables = None
     inter_out = {}
     n_events = np.zeros(C, np.int32)
@@ -243,7 +246,8 @@ def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
         se = runner.device_block(se_np, lo)
         tbl, nev, inter = detect_kernel(
             ts, th, se, doy_pos, K=K, min_duration=min_duration,
-            join_gaps=join_gaps, max_gap=max_gap, intermediate=intermediate)
+            join_gaps=join_gaps, max_gap=max_gap, intermediate=intermediate,
+            use_pallas_scan=use_pallas_scan)
         hi = min(lo + runner.block, C)
         w = hi - lo
         if tables is None:
