@@ -50,8 +50,8 @@ def _shift_rows(x, d, neutral):
 
 
 def _kernel(ts_ref, th_ref, se_ref, ap_ref, am_ref, day_ref, isst_ref,
-            shifts_ref, p_ref, s_ref, pcarry, fcarry, icarry, rcarry,
-            *, T):
+            shifts_ref, p_ref, s_ref, pcarry, pcomp, fcarry, icarry,
+            rcarry, *, T):
     j = pl.program_id(1)
     dtf = jnp.float32
     nan = jnp.float32(jnp.nan)
@@ -62,6 +62,7 @@ def _kernel(ts_ref, th_ref, se_ref, ap_ref, am_ref, day_ref, isst_ref,
     @pl.when(j == 0)
     def _():
         pcarry[...] = jnp.zeros((NP_, LANES), dtf)
+        pcomp[...] = jnp.zeros((NP_, LANES), dtf)
         fcarry[...] = jnp.full((3, LANES), neg, dtf)
         icarry[0:1, :] = jnp.zeros((1, LANES), jnp.int32)
         icarry[1:2, :] = jnp.full((1, LANES), bigi)
@@ -126,9 +127,16 @@ def _kernel(ts_ref, th_ref, se_ref, ap_ref, am_ref, day_ref, isst_ref,
     while d < TB:
         X = X + _shift_rows(X, d, 0.0)
         d *= 2
-    X = X + pcarry[...][None, :, :]
-    p_ref[:] = X
-    pcarry[...] = X[TB - 1]
+    carry = pcarry[...]
+    p_ref[:] = X + carry[None, :, :]
+    # Kahan-compensated carry: accumulating via the (rounded) written
+    # prefix row drifts ~eps*|carry| per block over ~115 blocks; tracking
+    # the carry exactly with a compensation term removes the random walk
+    tot = X[TB - 1]
+    y = tot - pcomp[...]
+    t = carry + y
+    pcomp[...] = (t - carry) - y
+    pcarry[...] = t
 
     # ---- segmented scan (reset at run starts) ------------------------------
     def comb(a, b):
@@ -240,6 +248,7 @@ def fused_detect_scans(ts, thresh_t, seas_t, anom_plus, anom_minus, day,
             jax.ShapeDtypeStruct((Tp, NS_, C), jnp.int32),
         ],
         scratch_shapes=[
+            pltpu.VMEM((NP_, LANES), jnp.float32),
             pltpu.VMEM((NP_, LANES), jnp.float32),
             pltpu.VMEM((3, LANES), jnp.float32),
             pltpu.VMEM((5, LANES), jnp.int32),
