@@ -294,3 +294,23 @@ def test_calc_clim_and_window_roll(oisst_ts, clim_oisst):
     exp[1:8] = 1
     exp[12:19] = 12
     np.testing.assert_array_equal(out, exp)
+
+
+def test_block_average_device_path(mhw_oisst):
+    """device=True jit kernel matches the numpy host path."""
+    mhw, inter = mhw_oisst
+    host = xm.block_average(mhw, period=[2003, 2004])
+    dev = xm.block_average(mhw, period=[2003, 2004], device=True)
+    for v in host.keys():
+        np.testing.assert_allclose(
+            np.nan_to_num(dev[v].data, nan=-9e9),
+            np.nan_to_num(host[v].data, nan=-9e9), rtol=1e-12,
+            err_msg=v)
+    # with ts stats appended
+    host2 = xm.block_average(mhw, dstime=inter)
+    dev2 = xm.block_average(mhw, dstime=inter, device=True)
+    for v in host2.keys():
+        np.testing.assert_allclose(
+            np.nan_to_num(dev2[v].data, nan=-9e9),
+            np.nan_to_num(host2[v].data, nan=-9e9), rtol=1e-12,
+            err_msg=v)

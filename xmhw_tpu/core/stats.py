@@ -1,0 +1,74 @@
+"""Device-side year-block statistics kernels.
+
+The host path (stats_api._binned_reduce) uses numpy bincount — fine for
+regional grids, host-bound at planet scale. This kernel computes all the
+event-table block aggregations in one jit: the bin count is small
+(#years / blockLength), so every reduction is a masked sum/max over the
+compact (K, C) event tables — no scatters, vectorized over all cells.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# output name -> (source index, reduction); sources order fixed below
+EVENT_AGGS = [
+    ("ecount", 0, "count"),
+    ("duration", 1, "mean"),
+    ("intensity_max", 2, "mean"),
+    ("intensity_max_max", 2, "max"),
+    ("intensity_mean", 3, "mean"),
+    ("intensity_cumulative", 4, "mean"),
+    ("total_icum", 4, "sum"),
+    ("intensity_mean_relThresh", 5, "mean"),
+    ("intensity_cumulative_relThresh", 6, "mean"),
+    ("severity_mean", 7, "mean"),
+    ("severity_cumulative", 8, "mean"),
+    ("intensity_mean_abs", 9, "mean"),
+    ("intensity_cumulative_abs", 10, "mean"),
+    ("rate_onset", 11, "mean"),
+    ("rate_decline", 12, "mean"),
+]
+EVENT_VARS = [
+    "event", "duration", "intensity_max", "intensity_mean",
+    "intensity_cumulative", "intensity_mean_relThresh",
+    "intensity_cumulative_relThresh", "severity_mean",
+    "severity_cumulative", "intensity_mean_abs",
+    "intensity_cumulative_abs", "rate_onset", "rate_decline",
+]
+
+
+@functools.partial(jax.jit, static_argnames=("nbins",))
+def binned_event_stats(values, bin_idx, valid, nbins):
+    """All block aggregations over compact event tables, on device.
+
+    values: (NV, K, C) float — stacked EVENT_VARS
+    bin_idx: (K, C) int32; valid: (K, C) bool
+    Returns dict name -> (nbins, C) float32/float64 (NaN-empty bins).
+    """
+    dt = values.dtype
+    nan = jnp.asarray(jnp.nan, dt)
+    # (nbins, K, C) one-hot membership — nbins is small
+    b = jnp.arange(nbins, dtype=jnp.int32)[:, None, None]
+    member = valid[None] & (bin_idx[None] == b)
+
+    out = {}
+    for name, i, how in EVENT_AGGS:
+        v = values[i]
+        fin = member & jnp.isfinite(v)[None]
+        cnt = jnp.sum(fin, axis=1).astype(dt)
+        if how == "count":
+            out[name] = cnt
+            continue
+        s = jnp.sum(jnp.where(fin, v[None], 0), axis=1)
+        if how == "sum":
+            out[name] = jnp.where(cnt > 0, s, nan)
+        elif how == "mean":
+            out[name] = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), nan)
+        else:  # max
+            m = jnp.max(jnp.where(fin, v[None], -jnp.inf), axis=1)
+            out[name] = jnp.where(cnt > 0, m, nan)
+    return out

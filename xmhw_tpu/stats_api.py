@@ -148,11 +148,16 @@ def block_average(
     removeMissing=False,
     split=False,
     reference_quirks=False,
+    device=False,
 ):
     """Statistics on blocks of years (reference: stats.py:27-183).
 
     Returns a Dataset with dims (years [, lat, lon ...]); the ``years``
     coordinate holds the left edge of each block.
+
+    ``device=True`` runs the event-table aggregations as one jit-compiled
+    kernel (core/stats.py) — the planet-scale path; results match the
+    host path (tested). Ignored with ``reference_quirks``.
     """
     sw_temp = False
     sw_cats = False
@@ -204,6 +209,23 @@ def block_average(
     coords = {"years": years_coord}
     for d in grid_dims:
         coords[d] = mhw[mtime].coords[d]
+    if device and not reference_quirks:
+        import jax.numpy as jnp
+
+        from .core.stats import EVENT_VARS, binned_event_stats
+
+        vals = np.stack([
+            mhw[v].data.reshape(flat_years.shape) for v in EVENT_VARS
+        ]).astype(mhw["duration"].data.dtype, copy=False)
+        res = binned_event_stats(
+            jnp.asarray(vals), jnp.asarray(bin_idx.astype(np.int32)),
+            jnp.asarray(flat_valid), nbins)
+        for oname, arr in res.items():
+            out[oname] = DataArray(
+                np.asarray(arr).reshape((nbins,) + grid_shape),
+                ("years", *grid_dims), coords)
+        return _block_ts_stats(out, dstime, sw_temp, sw_cats, bins, nbins,
+                               years_coord, removeMissing)
     for oname, vname, how in _AGG_MHW:
         src = vname
         if reference_quirks and oname in ("intensity_mean_abs",
@@ -215,9 +237,17 @@ def block_average(
             red.reshape((nbins,) + grid_shape), ("years", *grid_dims),
             coords)
 
-    # ---- per-day ts / category stats --------------------------------------
+    return _block_ts_stats(out, dstime, sw_temp, sw_cats, bins, nbins,
+                           years_coord, removeMissing)
+
+
+def _block_ts_stats(out, dstime, sw_temp, sw_cats, bins, nbins,
+                    years_coord, removeMissing):
+    """Per-day ts / category block stats appended to ``out``."""
     if sw_temp:
         mode = "cats" if sw_cats else "ts"
+        tdim = "time" if "time" in dstime.coords else "index"
+        tyears, _ = _years_of(dstime.coords[tdim].values)
         ts_flat, ts_grid_dims, ts_grid_shape = _flatten_cells(
             dstime["ts"], tdim)
         dy_idx = np.searchsorted(bins, tyears, side="right") - 1
@@ -262,6 +292,7 @@ def block_average(
                         np.nan, da.data)
                     out[name] = da.copy(data=masked)
     return out
+
 
 
 def find_across(mhw):
