@@ -252,3 +252,13 @@ def test_regional_grid_multiblock(oisst_ts):
     da2 = da.copy(data=data2)
     c2 = xm.threshold(da2, anynans=True, dtype=np.float64)
     assert np.isnan(c2["thresh"].data[:, 0, 0]).all()
+
+
+def test_detect_doy_coverage_error(oisst_ts):
+    """A climatology whose doy axis doesn't cover the series doys raises
+    a clear error instead of mis-gathering."""
+    clim = xm.threshold(oisst_ts, dtype=np.float64)
+    short_th = clim["thresh"].isel(doy=np.arange(200))
+    with pytest.raises(XmhwException):
+        xm.detect(oisst_ts, short_th, clim["seas"].isel(
+            doy=np.arange(200)), dtype=np.float64)
