@@ -94,13 +94,17 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     fin_am = jnp.isfinite(anom_minus) & day
 
     # ---- compaction geometry: event end days via top_k (no scatters) -----
-    # smallest K end-day indices per cell == largest K of (-idx | -big)
-    neg_ends = jnp.where(is_end, -idx, -bigi)  # (T, C)
+    # smallest K end-day indices per cell == largest K of (-idx | -big).
+    # float32 keys sort measurably faster than int32 on TPU and represent
+    # indices < 2^24 exactly.
+    kdt = jnp.float32 if dt == jnp.float32 else jnp.int32
+    neg_ends = jnp.where(is_end, (-idx).astype(kdt),
+                         jnp.asarray(-4 * T - 64, kdt))  # (T, C)
     if K > T:  # tiny series: top_k needs k <= axis size
         neg_ends = jnp.concatenate(
-            [neg_ends, jnp.full((K - T, C), -bigi, _I32)], axis=0)
+            [neg_ends, jnp.full((K - T, C), -4 * T - 64, kdt)], axis=0)
     topv, _ = lax.top_k(neg_ends.T, K)  # (C, K) descending == idx ascending
-    end_pos = jnp.minimum(-topv.T, T - 1).astype(_I32)  # (K, C)
+    end_pos = jnp.minimum((-topv.T).astype(_I32), T - 1)  # (K, C)
     valid = (lax.broadcasted_iota(_I32, (K, C), 0) < n_events[None, :])
 
     def at_end(x):
