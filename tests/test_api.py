@@ -262,3 +262,16 @@ def test_detect_doy_coverage_error(oisst_ts):
     with pytest.raises(XmhwException):
         xm.detect(oisst_ts, short_th, clim["seas"].isel(
             doy=np.arange(200)), dtype=np.float64)
+
+
+def test_clim_period_subset_detect_full(oisst_ts):
+    """Standard workflow: climatology from a sub-period, detection over
+    the full record (reference: climatologyPeriod, xmhw.py:112-119)."""
+    clim = xm.threshold(oisst_ts, climatologyPeriod=[2003, 2003],
+                        dtype=np.float64)
+    mhw = xm.detect(oisst_ts, clim["thresh"], clim["seas"],
+                    dtype=np.float64)
+    # events found across BOTH years
+    y = mhw["time_start"].data.astype("datetime64[Y]")
+    years = set(np.unique(y[~np.isnat(y)]).astype(int) + 1970)
+    assert {2003, 2004} <= years
