@@ -314,3 +314,37 @@ def test_block_average_device_path(mhw_oisst):
             np.nan_to_num(dev2[v].data, nan=-9e9),
             np.nan_to_num(host2[v].data, nan=-9e9), rtol=1e-12,
             err_msg=v)
+
+
+def test_global_scale_pipeline_compact(oisst_ts):
+    """BASELINE config 5 shape at test scale: compact events layout ->
+    device block stats -> rank, end to end on a larger grid."""
+    rng = np.random.default_rng(9)
+    t = np.arange("2001-01-01", "2004-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")
+    T = len(t)
+    day = np.arange(T)[:, None, None]
+    noise = rng.normal(0, 1, (T + 14, 12, 12))
+    sm = np.stack([noise[k:k + T] for k in range(15)]).mean(0)
+    data = (14 + 4 * np.sin(2 * np.pi * day / 365.25) + 3 * sm).astype(
+        np.float32)
+    da = xm.DataArray(
+        data, ("time", "lat", "lon"),
+        {"time": (("time",), t), "lat": (("lat",), np.arange(12.0)),
+         "lon": (("lon",), np.arange(12.0))})
+    clim = xm.threshold(da)
+    mhw = xm.detect(da, clim["thresh"], clim["seas"],
+                    events_layout="compact")
+    blk = xm.block_average(mhw, period=[2001, 2003], device=True)
+    assert blk["ecount"].dims == ("years", "lat", "lon")
+    assert np.nansum(blk["ecount"].data) == np.isfinite(
+        mhw["event"].data).sum()
+    rank, ret = xm.mhw_rank(mhw)
+    r = rank["intensity_max"].data
+    fin = np.isfinite(r)
+    assert fin.any()
+    # per-cell ranks are permutations of 1..n
+    cellr = r[:, 5, 5]
+    cf = np.isfinite(cellr)
+    np.testing.assert_array_equal(np.sort(cellr[cf]),
+                                  np.arange(1, cf.sum() + 1))
