@@ -275,3 +275,39 @@ def test_clim_period_subset_detect_full(oisst_ts):
     y = mhw["time_start"].data.astype("datetime64[Y]")
     years = set(np.unique(y[~np.isnat(y)]).astype(int) + 1970)
     assert {2003, 2004} <= years
+
+
+def test_intermediate_netcdf_staging(oisst_ts, tmp_path):
+    """The reference's documented staging pattern: save the intermediate
+    dataset, reload it, feed block_average (docs/gettingstarted.rst)."""
+    clim = xm.threshold(oisst_ts, dtype=np.float64)
+    mhw, inter = xm.detect(oisst_ts, clim["thresh"], clim["seas"],
+                           intermediate=True, dtype=np.float64)
+    p = str(tmp_path / "inter.nc")
+    inter.to_netcdf(p)
+    back = xm.open_dataset(p)
+    # grid unstack NaN-fills dropped cells, so bool vars become float
+    # (like xarray); values must round-trip exactly
+    nptest.assert_allclose(np.nan_to_num(back["bthresh"].data, nan=-1),
+                           np.nan_to_num(inter["bthresh"].data, nan=-1))
+    nptest.assert_allclose(np.nan_to_num(back["relSeas"].data),
+                           np.nan_to_num(inter["relSeas"].data))
+    # point-mode intermediate keeps real bools through NetCDF
+    pt = oisst_ts.sel(lat=-42.625, lon=148.125)
+    cpt = xm.threshold(pt, dtype=np.float64)
+    _, ipt = xm.detect(pt, cpt["thresh"], cpt["seas"], intermediate=True,
+                       dtype=np.float64)
+    p2 = str(tmp_path / "inter_pt.nc")
+    ipt.to_netcdf(p2)
+    back2 = xm.open_dataset(p2)
+    assert back2["bthresh"].data.dtype == bool
+    np.testing.assert_array_equal(back2["bthresh"].data,
+                                  ipt["bthresh"].data)
+    blk = xm.block_average(mhw, dstime=back)
+    blk_direct = xm.block_average(mhw, dstime=inter)
+    nptest.assert_allclose(np.nan_to_num(blk["total_days"].data),
+                           np.nan_to_num(blk_direct["total_days"].data))
+    # alternative event-time binning
+    blk2 = xm.block_average(mhw, period=[2003, 2004], mtime="time_peak")
+    assert np.nansum(blk2["ecount"].data) == np.isfinite(
+        mhw["event"].data).sum()

@@ -104,6 +104,8 @@ def _open_h5(path):
                 units = str(attrs.pop("units"))
                 tindex = decode_cf_time(vals, units, cal)
                 vals = tindex.values
+            if attrs.pop("dtype", None) == "bool":
+                vals = vals.astype(bool)
             # 1-D variable over an unnamed dim is an aux coordinate
             da = DataArray(
                 vals, dims,
@@ -229,6 +231,9 @@ def save_dataset(ds, path, encoding=None):
                 data = np.asarray(raw).reshape(da.shape)
                 da = da.copy(data=data)
                 da.attrs.update(units=units, calendar=cal)
+            if data.dtype == bool:
+                data = data.astype(np.int8)
+                da.attrs["dtype"] = "bool"
             if "dtype" in enc:
                 data = data.astype(enc["dtype"])
             kwargs = {}
