@@ -196,6 +196,13 @@ def test_netcdf_roundtrip(oisst_ts, tmp_path):
     nptest.assert_allclose(
         np.nan_to_num(back2["duration"].data),
         np.nan_to_num(mhw["duration"].data))
+    # datetime vars incl. NaT padding survive the CF encode/decode
+    np.testing.assert_array_equal(
+        np.isnat(back2["time_start"].data),
+        np.isnat(mhw["time_start"].data))
+    ok = ~np.isnat(mhw["time_start"].data)
+    np.testing.assert_array_equal(back2["time_start"].data[ok],
+                                  mhw["time_start"].data[ok])
 
 
 def test_detect_maxpad(oisst_ts):
