@@ -66,3 +66,27 @@ def test_pad_cells():
     assert np.isnan(padded[:, 10:]).all()
     same, n2 = pad_cells(arr, 5)
     assert same.shape == (4, 10)
+
+
+def test_pallas_clim_under_shard_map():
+    """The pallas climatology path wrapped in shard_map over the 8-device
+    mesh (interpret mode) matches the XLA path — exercises the exact
+    multi-TPU code branch of run_clim."""
+    import xmhw_tpu.core.pipeline as P
+    from xmhw_tpu.core.calendar import compute_doy
+    from xmhw_tpu.xrlite import TimeIndex
+
+    rng = np.random.default_rng(0)
+    t = np.arange("2001-01-01", "2004-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")
+    T = len(t)
+    doy, ndoy = compute_doy(TimeIndex(t))
+    ts = np.round(rng.normal(15, 3, (T, 1024)), 2).astype(np.float32)
+    mesh = cell_mesh()
+    th_p, se_p = P.run_clim(ts, doy, 5, ndoy, 90, True, 31, True,
+                            mesh=mesh, use_pallas=True,
+                            pallas_interpret=True, block=512)
+    th_x, se_x = P.run_clim(ts, doy, 5, ndoy, 90, True, 31, True,
+                            use_pallas=False)
+    np.testing.assert_allclose(th_p, th_x, atol=1e-5, equal_nan=True)
+    np.testing.assert_allclose(se_p, se_x, atol=1e-5, equal_nan=True)

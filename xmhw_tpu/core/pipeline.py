@@ -85,15 +85,16 @@ def _use_pallas_clim(dtype, override):
 @functools.partial(
     jax.jit,
     static_argnames=("ndoy", "ny", "rmax", "pctile", "smooth", "smooth_w",
-                     "patch_feb29"),
+                     "patch_feb29", "interpret"),
 )
 def _pallas_clim_block(ts_p, starts, lens, ndoy, ny, rmax, pctile, smooth,
-                       smooth_w, patch_feb29):
+                       smooth_w, patch_feb29, interpret=False):
     from ..ops.pallas.doy_quantile import pallas_doy_clim
     from .clim import feb29_patch, runavg_circular
 
     th, se = pallas_doy_clim(ts_p, starts, lens, ndoy=ndoy, ny=ny,
-                             rmax=rmax, pctile=pctile)
+                             rmax=rmax, pctile=pctile,
+                             interpret=interpret)
     if patch_feb29:
         th = feb29_patch(th)
         se = feb29_patch(se)
@@ -105,7 +106,8 @@ def _pallas_clim_block(ts_p, starts, lens, ndoy, ny, rmax, pctile, smooth,
 
 def run_clim(ts_np: np.ndarray, doy_np: np.ndarray, w: int, ndoy: int,
              pctile: int, smooth: bool, smooth_w: int, patch_feb29: bool,
-             block: int | None = None, mesh=None, use_pallas=None):
+             block: int | None = None, mesh=None, use_pallas=None,
+             pallas_interpret=False):
     """Climatology for all cells: (T, C) -> (thresh, seas) as (ndoy, C).
 
     TPU-native calc_clim (reference: xmhw/xmhw.py:250-307) over cell
@@ -123,6 +125,11 @@ def run_clim(ts_np: np.ndarray, doy_np: np.ndarray, w: int, ndoy: int,
     if pallas:
         starts_np, lens_np, ny, rmax = build_window_ranges(doy_np, w, ndoy)
         runner = CellRunner(C, T, 2 * w + 1, ndoy, block=block, mesh=mesh)
+        # each device shard feeds the kernel whole 128-lane tiles
+        n_dev = len(runner.mesh.devices.flat) if runner.mesh else 1
+        quantum = 128 * n_dev
+        if runner.block % quantum:
+            runner.block = -(-runner.block // quantum) * quantum
         ts_pad = np.pad(ts_np, ((0, rmax), (0, 0)),
                         constant_values=np.nan)
         starts = runner.device_replicated(starts_np.reshape(-1))
@@ -131,7 +138,7 @@ def run_clim(ts_np: np.ndarray, doy_np: np.ndarray, w: int, ndoy: int,
         fn = functools.partial(
             _pallas_clim_block, ndoy=ndoy, ny=ny, rmax=rmax,
             pctile=pctile, smooth=smooth, smooth_w=smooth_w,
-            patch_feb29=patch_feb29)
+            patch_feb29=patch_feb29, interpret=pallas_interpret)
         if runner.mesh is not None:
             from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
