@@ -140,7 +140,7 @@ def run_clim(ts_np: np.ndarray, doy_np: np.ndarray, w: int, ndoy: int,
             pctile=pctile, smooth=smooth, smooth_w=smooth_w,
             patch_feb29=patch_feb29, interpret=pallas_interpret)
         if runner.mesh is not None:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             from ..parallel.mesh import CELL_AXIS
@@ -149,7 +149,7 @@ def run_clim(ts_np: np.ndarray, doy_np: np.ndarray, w: int, ndoy: int,
                 fn, mesh=runner.mesh,
                 in_specs=(P(None, CELL_AXIS), P(), P()),
                 out_specs=(P(None, CELL_AXIS), P(None, CELL_AXIS)),
-                check_rep=False)
+                check_vma=False)
         for lo in runner.blocks():
             ts = runner.device_block(ts_pad, lo)
             th, se = fn(ts, starts, lens)
