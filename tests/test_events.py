@@ -94,3 +94,23 @@ def test_interpolate_na_device():
     assert out[6] == 7.0 and np.isnan(out[7])
     out2 = np.asarray(interpolate_na_device(jnp.asarray(x)[:, None]))[:, 0]
     np.testing.assert_allclose(out2[:7], [1, 2, 3, 4, 5, 6, 7])
+
+
+def test_interpolate_na_device_matches_host():
+    """Device interpolate_na == the labeled-array host implementation."""
+    from xmhw_tpu.xrlite import Coord, DataArray
+
+    rng = np.random.default_rng(4)
+    T, C = 500, 17
+    data = rng.normal(15, 2, (T, C))
+    mask = rng.random((T, C)) < 0.1
+    data[mask] = np.nan
+    data[0, 0] = np.nan  # leading NaN never filled
+    data[-1, 1] = np.nan  # trailing NaN never filled
+    da = DataArray(data.copy(), ("time", "c"),
+                   {"time": Coord(("time",), np.arange(T)),
+                    "c": Coord(("c",), np.arange(C))})
+    host = da.interpolate_na("time", max_gap=3).data
+    dev = np.asarray(interpolate_na_device(jnp.asarray(data), max_gap=3))
+    np.testing.assert_allclose(np.nan_to_num(dev, nan=-9e9),
+                               np.nan_to_num(host, nan=-9e9), rtol=1e-12)

@@ -48,6 +48,18 @@ def land_check(temp, tdim="time", anynans=False):
     return ts.isel(cell=keep)
 
 
+def _interpolate_na(data, max_gap):
+    """Vectorized interior-NaN filling on device (maxPadLength,
+    reference: xmhw.py:159-160) — the labeled-array method loops cells in
+    Python and would be minutes at planet scale."""
+    import jax.numpy as jnp
+
+    from .core.events import interpolate_na_device
+
+    return np.asarray(
+        interpolate_na_device(jnp.asarray(data), max_gap=max_gap))
+
+
 def _time_index(da, tdim) -> TimeIndex:
     coord = da.coords.get(tdim)
     if coord is None:
@@ -133,12 +145,11 @@ def threshold(
         tstep = True
     doy, ndoy = compute_doy(tindex, keep_tstep=tstep)
 
-    if maxPadLength:
-        ts = ts.interpolate_na(dim=tdim, max_gap=maxPadLength)
-
     data = np.asarray(ts.data, dtype=dtype or np.float32)
     if point:
         data = data[:, None]
+    if maxPadLength:
+        data = _interpolate_na(data, maxPadLength)
     if coldSpells:
         data = -data
 
@@ -262,9 +273,6 @@ def detect(
     tindex = _time_index(ts, tdim)
     doy, _ = compute_doy(tindex, keep_tstep=tstep)
 
-    if maxPadLength:
-        ts = ts.interpolate_na(dim=tdim, max_gap=maxPadLength)
-
     dt = dtype or np.float32
     data = np.asarray(ts.data, dtype=dt)
     th_data = np.asarray(thc.data, dtype=dt)
@@ -272,6 +280,8 @@ def detect(
     if point:
         data, th_data, se_data = (x[:, None] for x in
                                   (data, th_data, se_data))
+    if maxPadLength:
+        data = _interpolate_na(data, maxPadLength)
     if coldSpells:
         data = -data
 
