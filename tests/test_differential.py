@@ -150,3 +150,62 @@ def test_block_average_vs_oracle(oisst_ts):
                     np.testing.assert_allclose(
                         got, naive(var, how), equal_nan=True,
                         err_msg=f"{out} {la} {lo} {year}")
+
+
+def test_coldspells_vs_oracle():
+    """coldSpells mode == heatwave detection on the negated series with
+    intensities flipped (reference: xmhw.py:153-154, 481-482)."""
+    da = _grid(7, T_years=3)
+    clim = xm.threshold(da, coldSpells=True, dtype=np.float64)
+    cold = xm.detect(da, clim["thresh"], clim["seas"], coldSpells=True,
+                     dtype=np.float64)
+    # manual: negate input, run normal pipeline, flip intensity signs
+    neg = da.copy(data=-np.asarray(da.data))
+    clim2 = xm.threshold(neg, dtype=np.float64)
+    hot = xm.detect(neg, clim2["thresh"], clim2["seas"], dtype=np.float64)
+    np.testing.assert_allclose(
+        np.nan_to_num(clim["thresh"].data),
+        np.nan_to_num(clim2["thresh"].data))
+    for v in ("event", "duration", "rate_onset"):
+        np.testing.assert_allclose(np.nan_to_num(cold[v].data),
+                                   np.nan_to_num(hot[v].data), err_msg=v)
+    np.testing.assert_allclose(
+        np.nan_to_num(cold["intensity_max"].data),
+        np.nan_to_num(-hot["intensity_max"].data))
+    np.testing.assert_allclose(
+        np.nan_to_num(cold["intensity_var"].data),
+        np.nan_to_num(hot["intensity_var"].data))
+
+
+def test_tstep_monthly_vs_oracle():
+    """tstep (monthly) path vs the oracle on the step-number calendar."""
+    rng = np.random.default_rng(11)
+    months = np.arange("2001-01", "2007-01",
+                       dtype="datetime64[M]").astype("datetime64[ns]")
+    T = len(months)
+    vals = (15 + 5 * np.sin(2 * np.pi * np.arange(T) / 12)[:, None, None]
+            + rng.normal(0, 1.5, (T, 2, 2)))
+    da = DataArray(vals, ("time", "lat", "lon"),
+                   {"time": Coord(("time",), months),
+                    "lat": Coord(("lat",), [0.0, 1.0]),
+                    "lon": Coord(("lon",), [0.0, 1.0])})
+    clim = xm.threshold(da, tstep=True, windowHalfWidth=1,
+                        smoothPercentile=False, dtype=np.float64)
+    mhw = xm.detect(da, clim["thresh"], clim["seas"], tstep=True,
+                    minDuration=2, maxGap=1, dtype=np.float64)
+    doy = np.tile(np.arange(1, 13), T // 12)
+    checked = 0
+    for la in (0.0, 1.0):
+        for lo in (0.0, 1.0):
+            col = np.asarray(da.data[:, int(la), int(lo)], np.float64)
+            th_o, se_o = clim_oracle(col, doy, 12, w=1, smooth=False,
+                                     feb29=False)
+            th_f = clim["thresh"].sel(lat=la, lon=lo).values
+            np.testing.assert_allclose(th_f, th_o, atol=1e-10,
+                                       equal_nan=True)
+            evs = events_oracle(col, th_o[doy - 1], se_o[doy - 1], 2,
+                                True, 1)
+            labels = mhw["event"].sel(lat=la, lon=lo).values
+            assert np.isfinite(labels).sum() == len(evs)
+            checked += len(evs)
+    assert checked > 0
