@@ -10,7 +10,7 @@ from xmhw_tpu.stats_api import check_variables, rank_variable
 from xmhw_tpu.xrlite import Coord, DataArray, Dataset
 
 
-@pytest.fixture
+@pytest.fixture(scope="module")
 def mhw_oisst(oisst_ts):
     clim = xm.threshold(oisst_ts, dtype=np.float64)
     mhw, inter = xm.detect(oisst_ts, clim["thresh"], clim["seas"],
