@@ -353,7 +353,7 @@ def _assemble_events(tables, time_vals, point, ts, tdim, ds_attrs):
                 out = np.full((E, C), np.nan)
             out[rows, cols] = np.where(idx >= 0, v, out[rows, cols])
         else:
-            out = np.full((E, C), np.nan)
+            out = np.full((E, C), np.nan, dtype=tab.dtype)
             out[rows, cols] = tab[valid]
         per_var[name] = out
 
