@@ -97,13 +97,13 @@ def test_fused_detect_scans_kernel():
     ts[50:60, 3] = np.nan
     th = (16.5 + rng.normal(0, .2, (D, C))).astype(np.float32)
     se = (15 + rng.normal(0, .1, (D, C))).astype(np.float32)
-    a, na, _ = F2.detect_kernel(jnp.asarray(ts), jnp.asarray(th),
-                                jnp.asarray(se), jnp.asarray(doy_pos),
-                                K=64)
-    b, nb, _ = F2.detect_kernel(jnp.asarray(ts), jnp.asarray(th),
-                                jnp.asarray(se), jnp.asarray(doy_pos),
-                                K=64, use_pallas_scan=True,
-                                pallas_interpret=True)
+    a, na, ia = F2.detect_kernel(jnp.asarray(ts), jnp.asarray(th),
+                                 jnp.asarray(se), jnp.asarray(doy_pos),
+                                 K=64, intermediate=True)
+    b, nb, ib = F2.detect_kernel(jnp.asarray(ts), jnp.asarray(th),
+                                 jnp.asarray(se), jnp.asarray(doy_pos),
+                                 K=64, use_pallas_scan=True,
+                                 pallas_interpret=True, intermediate=True)
     np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
     for k in a:
         x = np.asarray(a[k], np.float64)
@@ -112,3 +112,8 @@ def test_fused_detect_scans_kernel():
         assert (m == np.isfinite(y)).all(), k
         np.testing.assert_allclose(x[m], y[m], rtol=2e-3, atol=2e-3,
                                    err_msg=k)
+    for k in ia:
+        np.testing.assert_array_equal(
+            np.nan_to_num(np.asarray(ia[k], np.float64), nan=-9e9),
+            np.nan_to_num(np.asarray(ib[k], np.float64), nan=-9e9),
+            err_msg=k)
