@@ -209,3 +209,53 @@ def test_tstep_monthly_vs_oracle():
             assert np.isfinite(labels).sum() == len(evs)
             checked += len(evs)
     assert checked > 0
+
+
+def test_intermediate_vs_oracle():
+    """Per-day intermediate values vs a naive recomputation."""
+    da = _grid(12, T_years=3, nan_frac=0.02)
+    clim = xm.threshold(da, dtype=np.float64)
+    mhw, inter = xm.detect(da, clim["thresh"], clim["seas"],
+                           intermediate=True, dtype=np.float64)
+    from xmhw_tpu.core.calendar import compute_doy
+    from xmhw_tpu.xrlite import TimeIndex
+
+    tvals = np.asarray(da.coords["time"].values)
+    doy, _ = compute_doy(TimeIndex(tvals))
+    for la in range(2):
+        for lo in range(2):
+            col = np.asarray(da.data[:, la, lo], np.float64)
+            th = clim["thresh"].sel(lat=float(la),
+                                    lon=float(lo)).values[doy - 1]
+            se = clim["seas"].sel(lat=float(la),
+                                  lon=float(lo)).values[doy - 1]
+            evs = events_oracle(col, th, se, 5, True, 2)
+            daymask = np.zeros(len(col), bool)
+            evid = np.full(len(col), np.nan)
+            for e in evs:
+                s, en = int(e["index_start"]), int(e["index_end"])
+                daymask[s:en + 1] = True
+                evid[s:en + 1] = s
+            got_ev = inter["events"].sel(lat=float(la),
+                                         lon=float(lo)).values
+            np.testing.assert_array_equal(np.nan_to_num(got_ev, nan=-1),
+                                          np.nan_to_num(evid, nan=-1))
+            relSeas = np.where(daymask, col - se, np.nan)
+            sev = np.where(daymask, (col - se) / -(th - se), np.nan)
+            cats = np.floor(1 + np.where(daymask,
+                                         (col - th) / (th - se), np.nan))
+            for name, want in (("relSeas", relSeas), ("severity", sev),
+                               ("cats", cats)):
+                got = inter[name].sel(lat=float(la),
+                                      lon=float(lo)).values
+                np.testing.assert_allclose(
+                    np.nan_to_num(got, nan=-9e9),
+                    np.nan_to_num(want, nan=-9e9), rtol=1e-10,
+                    err_msg=name)
+            # bthresh: plain exceedance, NaN-safe False
+            bt = inter["bthresh"].sel(lat=float(la),
+                                      lon=float(lo)).values
+            want_bt = np.zeros(len(col), bool)
+            fin = np.isfinite(col) & np.isfinite(th)
+            want_bt[fin] = col[fin] > th[fin]
+            np.testing.assert_array_equal(bt.astype(bool), want_bt)
