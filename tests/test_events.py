@@ -3,6 +3,8 @@ join_gaps coverage, reference: test/test_identify.py:90-122)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pandas as pd
+import pytest
 
 from xmhw_tpu.core.events import interpolate_na_device, mhw_filter
 
@@ -114,3 +116,79 @@ def test_interpolate_na_device_matches_host():
     dev = np.asarray(interpolate_na_device(jnp.asarray(data), max_gap=3))
     np.testing.assert_allclose(np.nan_to_num(dev, nan=-9e9),
                                np.nan_to_num(host, nan=-9e9), rtol=1e-12)
+
+
+def _pandas_reference_filter(b, min_duration=5, join_gaps=True, max_gap=2):
+    """Oracle replicating the reference's mhw_filter/join_gaps pandas chain
+    (reference identify.py:415-479, 273-325, 532-536) — INCLUDING the
+    fillna(0) day-0 artifact. Returns per-day start-index labels (NaN off
+    event)."""
+    idxarr = pd.Series(np.arange(len(b), dtype=float))
+    bth = pd.Series(np.asarray(b, bool))
+    events = (idxarr.where(~bth).ffill()).fillna(0)
+    events_map = idxarr - events
+    shifted = (events_map - events_map.shift(1)).shift(-1)
+    shifted = shifted.where(~np.isnan(shifted), -events_map)
+    duration = events_map.where(shifted <= -min_duration)
+    end = idxarr.where(~np.isnan(duration))
+    st = end - duration + 1
+    events = events + 1
+    sel = events.where(events.isin(st) & (events_map != 0))
+    if join_gaps:
+        s = st.dropna()
+        e = end.dropna()
+        if len(s) > 1:
+            pairs = set(zip(s.values, e.values))
+            eshift = e.shift(1).fillna(value=-(max_gap + 1))
+            gaps = (s - eshift) > max_gap + 1
+            gaps_shifted = gaps.shift(-1).fillna(value=True)
+            s2 = s.where(gaps).dropna()
+            e2 = e.where(gaps_shifted).dropna()
+            if len(s2) < len(s):
+                for js, je in set(zip(s2.values, e2.values)) - pairs:
+                    sel.iloc[int(js):int(je) + 1] = js
+    return sel.values
+
+
+def _labels(f):
+    eid = np.asarray(f["event_id"][:, 0]).astype(float)
+    eid[eid < 0] = np.nan
+    return eid
+
+
+@pytest.mark.parametrize("lead", [3, 5, 6, 9])
+def test_day0_quirk_matches_pandas_reference(lead):
+    # a run touching day 0 (length `lead`), then regular events
+    b = np.zeros(40, bool)
+    b[:lead] = True
+    b[12:19] = True
+    b[21:27] = True  # gap of 2 from previous -> joined
+    for join in (True, False):
+        exp = _pandas_reference_filter(b, 5, join, 2)
+        f = mhw_filter(jnp.asarray(b)[:, None], min_duration=5,
+                       join_gaps=join, max_gap=2, day0_fillna_quirk=True)
+        np.testing.assert_array_equal(_labels(f), exp)
+
+
+def test_day0_quirk_randomized_vs_pandas_reference():
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        b = rng.random(60) < 0.45
+        b[0] = trial % 2 == 0  # half the trials start mid-run
+        exp = _pandas_reference_filter(b, 5, True, 2)
+        f = mhw_filter(jnp.asarray(b)[:, None], min_duration=5,
+                       join_gaps=True, max_gap=2, day0_fillna_quirk=True)
+        np.testing.assert_array_equal(_labels(f), exp)
+
+
+def test_day0_default_includes_first_day():
+    # deliberate fix: without the quirk a leading 5-day run IS an event
+    # starting at index 0 (the reference would discard it entirely)
+    b = np.zeros(30, bool)
+    b[:5] = True
+    f = mhw_filter(jnp.asarray(b)[:, None], min_duration=5)
+    lab = _labels(f)
+    assert np.all(lab[:5] == 0.0) and np.all(np.isnan(lab[5:]))
+    fq = mhw_filter(jnp.asarray(b)[:, None], min_duration=5,
+                    day0_fillna_quirk=True)
+    assert np.all(np.isnan(_labels(fq)))

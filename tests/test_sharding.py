@@ -90,3 +90,38 @@ def test_pallas_clim_under_shard_map():
                             use_pallas=False)
     np.testing.assert_allclose(th_p, th_x, atol=1e-5, equal_nan=True)
     np.testing.assert_allclose(se_p, se_x, atol=1e-5, equal_nan=True)
+
+
+def test_pallas_detect_under_shard_map():
+    """The Pallas detect-scan path wrapped in shard_map over the 8-device
+    mesh (interpret mode) matches the XLA path — exercises the exact
+    multi-TPU detect branch of run_detect (no more accuracy downgrade
+    under a mesh)."""
+    import xmhw_tpu.core.pipeline as P
+    from xmhw_tpu.core.calendar import compute_doy
+    from xmhw_tpu.xrlite import TimeIndex
+
+    rng = np.random.default_rng(1)
+    t = np.arange("2001-01-01", "2004-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")
+    T = len(t)
+    doy, ndoy = compute_doy(TimeIndex(t))
+    C = 1024
+    ts = np.round(rng.normal(15, 3, (T, C)), 2).astype(np.float32)
+    th, se = P.run_clim(ts, doy, 5, ndoy, 90, True, 31, True,
+                        use_pallas=False)
+    doy_pos = (doy - 1).astype(np.int32)
+    mesh = cell_mesh()
+    tbl_p, nev_p, _ = P.run_detect(
+        ts, th, se, doy_pos, 5, True, 2, mesh=mesh, use_pallas=True,
+        pallas_interpret=True, block=512)
+    tbl_x, nev_x, _ = P.run_detect(
+        ts, th, se, doy_pos, 5, True, 2, use_pallas=False)
+    np.testing.assert_array_equal(nev_p, nev_x)
+    for v in ("event", "duration", "time_start", "time_end"):
+        np.testing.assert_array_equal(np.nan_to_num(tbl_p[v], nan=-9),
+                                      np.nan_to_num(tbl_x[v], nan=-9))
+    for v in ("intensity_max", "intensity_cumulative", "rate_onset",
+              "severity_var"):
+        np.testing.assert_allclose(tbl_p[v], tbl_x[v], atol=2e-4, rtol=2e-4,
+                                   equal_nan=True)

@@ -236,6 +236,7 @@ def detect(
     cell_block=None,
     mesh=None,
     events_layout="union",
+    reference_quirks=False,
 ):
     """Apply the Hobday et al. (2016) MHW definition; return event dataset.
 
@@ -248,6 +249,12 @@ def detect(
     (dims (ev, ...) with per-cell event slots — O(max events/cell) instead
     of O(total distinct events); use for planet-scale grids where the
     union layout would explode; block_average/mhw_rank accept both).
+
+    ``reference_quirks=True`` reproduces the reference's fillna(0) artifact
+    for exceedance runs that start on day 0 of the record (their first day
+    is dropped; a leading run of exactly minDuration days is discarded —
+    reference identify.py:441). Default False treats day-0 runs like any
+    other run (a deliberate fix; see core/events.py).
     """
     if maxGap >= minDuration:
         raise XmhwException(
@@ -298,7 +305,7 @@ def detect(
     tables, n_events, inter = run_detect(
         data, th_data, se_data, doy_pos, min_duration=minDuration,
         join_gaps=joinGaps, max_gap=maxGap, intermediate=intermediate,
-        block=cell_block, mesh=mesh,
+        block=cell_block, mesh=mesh, day0_fillna_quirk=reference_quirks,
     )
 
     time_vals = tindex.values

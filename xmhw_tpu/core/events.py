@@ -21,7 +21,14 @@ no data-dependent shapes, fully jit/shard_map compatible:
   union mask with the same start-index RLE.
 
 Event ids equal the event's start index (reference: identify.py:466-471),
-so labels match the reference bit-for-bit.
+so labels match the reference bit-for-bit — with ONE deliberate
+divergence: the reference's ``ffill().fillna(0)`` (identify.py:441) treats
+"no below-threshold day yet" as index 0, so an exceedance run that starts
+on day 0 of the record loses its first day (start=1, duration=len-1), and
+a leading run of exactly minDuration days is discarded entirely. That is
+an artifact, not Hobday semantics; this implementation includes day 0.
+Pass ``day0_fillna_quirk=True`` (``reference_quirks=True`` at the detect()
+level) to reproduce the artifact for exact output parity.
 """
 
 from __future__ import annotations
@@ -60,9 +67,12 @@ def run_geometry(bthresh):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("min_duration", "join_gaps", "max_gap")
+    jax.jit,
+    static_argnames=("min_duration", "join_gaps", "max_gap",
+                     "day0_fillna_quirk"),
 )
-def mhw_filter(bthresh, min_duration=5, join_gaps=True, max_gap=2):
+def mhw_filter(bthresh, min_duration=5, join_gaps=True, max_gap=2,
+               day0_fillna_quirk=False):
     """Identify qualifying (possibly gap-joined) events per cell.
 
     Parameters
@@ -71,6 +81,8 @@ def mhw_filter(bthresh, min_duration=5, join_gaps=True, max_gap=2):
         matching pandas, reference: identify.py:372)
     min_duration, join_gaps, max_gap: static ints/bool
         (reference defaults: identify.py:415-430)
+    day0_fillna_quirk: static bool — reproduce the reference's fillna(0)
+        artifact for runs touching day 0 (see module docstring)
 
     Returns dict of (T, C) arrays:
       event_day   bool — day belongs to a final (merged) event
@@ -86,8 +98,17 @@ def mhw_filter(bthresh, min_duration=5, join_gaps=True, max_gap=2):
     big = _I32(4 * T + 64)
     idx = lax.broadcasted_iota(_I32, bthresh.shape, 0)
 
-    _, _, run_len = run_geometry(bthresh)
-    kept = bthresh & (run_len >= min_duration)
+    run_start, _, run_len = run_geometry(bthresh)
+    if day0_fillna_quirk:
+        # reference artifact (identify.py:441): the previous-False index of
+        # a run touching t0 is fillna'd to 0, shifting its start to 1 and
+        # shortening it by one day (day 0 never joins an event)
+        leading = run_start == 0
+        run_len = jnp.where(leading, run_len - 1, run_len)
+        kept = (bthresh & (run_len >= min_duration)
+                & ~(leading & (idx == 0)))
+    else:
+        kept = bthresh & (run_len >= min_duration)
 
     if join_gaps:
         prev_kept = _cummax(jnp.where(kept, idx, -big))

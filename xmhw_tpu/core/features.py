@@ -57,10 +57,10 @@ def _seg_min(x, slot, cols, K, C, neutral):
 @functools.partial(
     jax.jit,
     static_argnames=("K", "min_duration", "join_gaps", "max_gap",
-                     "intermediate"),
+                     "intermediate", "day0_fillna_quirk"),
 )
 def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
-                  max_gap=2, intermediate=False):
+                  max_gap=2, intermediate=False, day0_fillna_quirk=False):
     """Full detection pipeline for a (T, C) block: exceedance -> RLE ->
     gap joining -> per-event features.
 
@@ -87,7 +87,7 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     seas_t = se[doy_pos]
     bthresh = ts > thresh_t
     f = mhw_filter(bthresh, min_duration=min_duration, join_gaps=join_gaps,
-                   max_gap=max_gap)
+                   max_gap=max_gap, day0_fillna_quirk=day0_fillna_quirk)
     day = f["event_day"]
     slot_raw = f["slot"]
     n_events = jnp.minimum(f["n_events"], K)

@@ -41,11 +41,12 @@ _I32 = jnp.int32
 @functools.partial(
     jax.jit,
     static_argnames=("K", "min_duration", "join_gaps", "max_gap",
-                     "intermediate", "use_pallas_scan", "pallas_interpret"),
+                     "intermediate", "use_pallas_scan", "pallas_interpret",
+                     "day0_fillna_quirk"),
 )
 def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
                   max_gap=2, intermediate=False, use_pallas_scan=False,
-                  pallas_interpret=False):
+                  pallas_interpret=False, day0_fillna_quirk=False):
     """Scan-based detection pipeline; same contract as
     features.detect_kernel (see that docstring for parameters).
 
@@ -62,7 +63,7 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     seas_t = se[doy_pos]
     bthresh = ts > thresh_t
     f = mhw_filter(bthresh, min_duration=min_duration, join_gaps=join_gaps,
-                   max_gap=max_gap)
+                   max_gap=max_gap, day0_fillna_quirk=day0_fillna_quirk)
     day = f["event_day"]
     is_start = f["is_start"]
     n_events = jnp.minimum(f["n_events"], K)

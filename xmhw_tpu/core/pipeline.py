@@ -195,13 +195,16 @@ def fused_threshold_detect(ts, gidx, doy_pos, pctile=90, smooth=True,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("min_duration", "join_gaps", "max_gap"))
-def _count_kernel(ts, th, pos, min_duration, join_gaps, max_gap):
+    jax.jit, static_argnames=("min_duration", "join_gaps", "max_gap",
+                              "day0_fillna_quirk"))
+def _count_kernel(ts, th, pos, min_duration, join_gaps, max_gap,
+                  day0_fillna_quirk=False):
     """Cheap counting pass: events per cell (fixes K before the feature
     pass). Module-level jit so repeated detect() calls reuse the
     compilation."""
     return mhw_filter(ts > th[pos], min_duration=min_duration,
-                      join_gaps=join_gaps, max_gap=max_gap)["n_events"]
+                      join_gaps=join_gaps, max_gap=max_gap,
+                      day0_fillna_quirk=day0_fillna_quirk)["n_events"]
 
 
 def _round_k(k: int) -> int:
@@ -212,61 +215,116 @@ def _round_k(k: int) -> int:
     return 1 << (k - 1).bit_length()
 
 
+def _sharded_detect_kernel(mesh, **static_kw):
+    """detect_kernel wrapped in shard_map for the Pallas-scan branch.
+
+    The XLA branch auto-partitions under NamedSharding inputs with zero
+    collectives, but pallas_call needs an explicit shard_map so each
+    device runs the kernel on its local cell shard (same pattern as
+    run_clim's climatology kernel)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import CELL_AXIS
+
+    fn = functools.partial(detect_kernel, **static_kw)
+    cells2d = P(None, CELL_AXIS)
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(cells2d, cells2d, cells2d, P()),
+        # (table dict, n_events, inter dict) — specs are tree prefixes
+        out_specs=(cells2d, P(CELL_AXIS), cells2d),
+        check_vma=False)
+
+
 def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
                max_gap, intermediate=False, block=None, mesh=None,
-               k_cap=None):
+               k_cap=None, day0_fillna_quirk=False, use_pallas=None,
+               pallas_interpret=False):
     """Detection for all cells: returns (tables dict of (K, C) numpy,
     n_events (C,), inter dict of (T, C) numpy).
 
     ``th_np``/``se_np`` are (D, C) doy climatologies; ``doy_pos_np`` (T,)
     maps timesteps to climatology rows (broadcast happens on device).
 
-    Two device passes: a cheap counting pass fixes the event-table capacity
-    K for every block (single compilation), then the feature pass fills the
-    tables. Replaces the per-cell define_events fan-out
+    Each cell block is uploaded ONCE and stays device-resident for both
+    the cheap counting pass (which fixes that block's event-table capacity
+    K) and the feature pass — H2D traffic is one ts/th/se transfer per
+    block. Per-block K values are rounded (32, then powers of two) so at
+    most a handful of kernel variants compile; the host output is padded
+    to the global maximum. Replaces the per-cell define_events fan-out
     (reference: xmhw/xmhw.py:440-454, identify.py:328-412).
     """
+    import logging
+
     T, C = ts_np.shape
     runner = CellRunner(C, T, block=block, mesh=mesh)
-    doy_pos = None
+    n_dev = len(runner.mesh.devices.flat) if runner.mesh else 1
+    use_pallas_scan = use_pallas if use_pallas is not None else (
+        ts_np.dtype == np.float32 and jax.default_backend() != "cpu")
+    if use_pallas_scan:
+        # each device shard must feed the kernel whole 128-lane tiles
+        quantum = 128 * n_dev
+        if runner.block % quantum:
+            runner.block = -(-runner.block // quantum) * quantum
 
-    kmax = 0
-    for lo in runner.blocks():
-        ts = runner.device_block(ts_np, lo)
-        th = runner.device_block(th_np, lo)
-        if doy_pos is None:
-            doy_pos = runner.device_replicated(doy_pos_np)
-        n = _count_kernel(ts, th, doy_pos, min_duration=min_duration,
-                          join_gaps=join_gaps, max_gap=max_gap)
-        kmax = max(kmax, int(jnp.max(n)))
-    K = _round_k(kmax if k_cap is None else min(kmax, k_cap))
-
-    use_pallas_scan = (
-        ts_np.dtype == np.float32 and jax.default_backend() != "cpu"
-        and runner.block % 128 == 0 and mesh is None)
-    tables = None
-    inter_out = {}
+    kcap_eff = _round_k(k_cap) if k_cap is not None else None
+    blocks_out = []  # (lo, w, tables, inter) per block
     n_events = np.zeros(C, np.int32)
+    kmax_global = 1
+    dropped = 0
+    doy_pos = runner.device_replicated(doy_pos_np)
     for lo in runner.blocks():
         ts = runner.device_block(ts_np, lo)
         th = runner.device_block(th_np, lo)
         se = runner.device_block(se_np, lo)
-        tbl, nev, inter = detect_kernel(
-            ts, th, se, doy_pos, K=K, min_duration=min_duration,
-            join_gaps=join_gaps, max_gap=max_gap, intermediate=intermediate,
-            use_pallas_scan=use_pallas_scan)
+        n = _count_kernel(ts, th, doy_pos, min_duration=min_duration,
+                          join_gaps=join_gaps, max_gap=max_gap,
+                          day0_fillna_quirk=day0_fillna_quirk)
+        K = _round_k(int(jnp.max(n)))
+        if kcap_eff is not None and K > kcap_eff:
+            dropped += int(jnp.sum(jnp.maximum(n - kcap_eff, 0)))
+            K = kcap_eff
+        kmax_global = max(kmax_global, K)
+        static_kw = dict(
+            K=K, min_duration=min_duration, join_gaps=join_gaps,
+            max_gap=max_gap, intermediate=intermediate,
+            use_pallas_scan=use_pallas_scan,
+            pallas_interpret=pallas_interpret,
+            day0_fillna_quirk=day0_fillna_quirk)
+        if use_pallas_scan and runner.mesh is not None:
+            fn = _sharded_detect_kernel(runner.mesh, **static_kw)
+            tbl, nev, inter = fn(ts, th, se, doy_pos)
+        else:
+            tbl, nev, inter = detect_kernel(ts, th, se, doy_pos,
+                                            **static_kw)
         hi = min(lo + runner.block, C)
         w = hi - lo
+        n_events[lo:hi] = np.asarray(nev)[:w]
+        blocks_out.append(
+            (lo, w,
+             {k: np.asarray(v)[:, :w] for k, v in tbl.items()},
+             {k: np.asarray(v)[:, :w] for k, v in inter.items()}))
+
+    if dropped:
+        logging.getLogger("xmhw_tpu").warning(
+            "k_cap=%d truncated the event table: %d event(s) dropped "
+            "across the grid", k_cap, dropped)
+
+    K = kmax_global
+    tables = None
+    inter_out = {}
+    for lo, w, tbl, inter in blocks_out:
         if tables is None:
-            tables = {k: np.empty((K, C),
-                                  np.asarray(v).dtype) for k, v in
-                      tbl.items()}
+            tables = {}
+            for k, v in tbl.items():
+                fill = -1 if np.issubdtype(v.dtype, np.integer) else np.nan
+                tables[k] = np.full((K, C), fill, v.dtype)
             if intermediate:
-                inter_out = {k: np.empty((T, C), np.asarray(v).dtype)
+                inter_out = {k: np.empty((T, C), v.dtype)
                              for k, v in inter.items()}
         for k, v in tbl.items():
-            tables[k][:, lo:hi] = np.asarray(v)[:, :w]
-        n_events[lo:hi] = np.asarray(nev)[:w]
+            tables[k][:v.shape[0], lo:lo + w] = v
         for k, v in inter.items():
-            inter_out[k][:, lo:hi] = np.asarray(v)[:, :w]
+            inter_out[k][:, lo:lo + w] = v
     return tables, n_events, inter_out

@@ -90,12 +90,15 @@ def window_roll_index(ts: DataArray, w: int, tdim: str = "time",
     return gidx
 
 
-def mhw_filter(bthresh, min_duration=5, join_gaps=True, max_gap=2):
+def mhw_filter(bthresh, min_duration=5, join_gaps=True, max_gap=2,
+               day0_fillna_quirk=False):
     """Identify qualifying events from a boolean exceedance series.
 
     Reference: identify.py:415-479. Accepts a 1-D or (time, cell) boolean
     numpy array; returns dict with per-day 'events' (start-index labels,
     NaN off-event) plus 'start'/'end' index arrays per event.
+    ``day0_fillna_quirk`` reproduces the reference's fillna(0) artifact for
+    runs touching day 0 (see core/events.py docstring).
     """
     import jax.numpy as jnp
 
@@ -106,7 +109,8 @@ def mhw_filter(bthresh, min_duration=5, join_gaps=True, max_gap=2):
     if squeeze:
         b = b[:, None]
     f = _filter(jnp.asarray(b), min_duration=int(min_duration),
-                join_gaps=bool(join_gaps), max_gap=int(max_gap))
+                join_gaps=bool(join_gaps), max_gap=int(max_gap),
+                day0_fillna_quirk=bool(day0_fillna_quirk))
     eid = np.asarray(f["event_id"]).astype(float)
     eid[eid < 0] = np.nan
     out = {
