@@ -102,14 +102,32 @@ def test_select_quantile_matches_sort_with_ties():
     vals = np.round(rng.normal(15, 3, (40, 111, 17)), 2).astype(np.float32)
     mask = rng.random((40, 111, 17)) > 0.1
     sq = np.asarray(_select_quantile(jnp.asarray(vals), jnp.asarray(mask),
-                                     0.9))
+                                     90))
     sv, n = _masked_sort(jnp.asarray(vals), jnp.asarray(mask))
-    gq = np.asarray(_interp_quantile(sv, n, jnp.float32(0.9)))
+    gq = np.asarray(_interp_quantile(sv, n, 90))
     np.testing.assert_allclose(sq, gq, atol=1e-6)
     # negative values exercise the sign-flip in the uint32 key
     vals2 = (vals - 15.0).astype(np.float32)
     sq2 = np.asarray(_select_quantile(jnp.asarray(vals2),
-                                      jnp.asarray(mask), 0.9))
+                                      jnp.asarray(mask), 90))
     sv2, n2 = _masked_sort(jnp.asarray(vals2), jnp.asarray(mask))
-    gq2 = np.asarray(_interp_quantile(sv2, n2, jnp.float32(0.9)))
+    gq2 = np.asarray(_interp_quantile(sv2, n2, 90))
     np.testing.assert_allclose(sq2, gq2, atol=1e-6)
+
+
+def test_quantile_position_exact_int_arithmetic():
+    """pctile*(n-1) positions are computed exactly in int32: 90% of n=451
+    is rank 405 exactly (float32 0.9*450 floors to 404). ADVICE r1."""
+    import jax.numpy as jnp
+
+    from xmhw_tpu.core.clim import _select_quantile
+
+    n = 451
+    rng = np.random.default_rng(5)
+    base = np.arange(n, dtype=np.float32)
+    vals = np.stack([rng.permutation(base) for _ in range(3)],
+                    axis=1)[None]  # (1, n, 3)
+    mask = np.ones_like(vals, bool)
+    out = np.asarray(_select_quantile(jnp.asarray(vals), jnp.asarray(mask),
+                                      90))
+    np.testing.assert_array_equal(out, np.full((1, 3), 405.0))

@@ -348,3 +348,37 @@ def test_global_scale_pipeline_compact(oisst_ts):
     cf = np.isfinite(cellr)
     np.testing.assert_array_equal(np.sort(cellr[cf]),
                                   np.arange(1, cf.sum() + 1))
+
+
+def test_block_average_split_majority_days():
+    """split=True assigns a boundary-crossing event to the block with the
+    MOST of its days: 20 Dec 2000 - 1 Mar 2001 (12 days in 2000, 60 in
+    2001) goes to the 2001 block (ADVICE r1: midpoint year would give
+    2000)."""
+    ev = Coord(("events",), np.array([0, 1]))
+    t0 = np.array(["2000-12-20", "2000-03-01"], "datetime64[ns]")
+    t1 = np.array(["2001-03-01", "2000-03-10"], "datetime64[ns]")
+    mhw = Dataset()
+    mhw["time_start"] = DataArray(t0, ("events",), {"events": ev})
+    mhw["time_end"] = DataArray(t1, ("events",), {"events": ev})
+    mhw["event"] = DataArray(np.array([10.0, 20.0]), ("events",),
+                             {"events": ev})
+    mhw["duration"] = DataArray(np.array([72.0, 10.0]), ("events",),
+                                {"events": ev})
+    for extra in ("intensity_max", "intensity_mean", "intensity_cumulative",
+                  "intensity_mean_relThresh",
+                  "intensity_cumulative_relThresh", "severity_mean",
+                  "severity_cumulative", "intensity_mean_abs",
+                  "intensity_cumulative_abs", "rate_onset", "rate_decline"):
+        mhw[extra] = DataArray(np.array([1.0, 2.0]), ("events",),
+                               {"events": ev})
+    out = xm.block_average(mhw, period=[2000, 2001], split=True,
+                           mtime="time_start")
+    # crossing event -> 2001 block; short event stays in 2000
+    np.testing.assert_array_equal(out["ecount"].values, [1.0, 1.0])
+    assert out["duration"].values[1] == 72.0
+    # without split both land in 2000 (time_start year)
+    out2 = xm.block_average(mhw, period=[2000, 2001], split=False,
+                            mtime="time_start")
+    np.testing.assert_array_equal(np.nan_to_num(out2["ecount"].values),
+                                  [2.0, 0.0])

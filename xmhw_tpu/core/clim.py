@@ -58,7 +58,29 @@ def _key_to_float(r):
     return lax.bitcast_convert_type(bits, jnp.float32)
 
 
-def _select_quantile(vals, mask, q):
+def _quantile_rank_frac(n, pctile, dt):
+    """Order-statistic rank k and interpolation fraction for position
+    q*(n-1), q = pctile/100.
+
+    For integral ``pctile`` (the reference API's case) the position is
+    computed EXACTLY in int32 — pctile*(n-1) = 100*k + rem — so
+    near-integer positions (e.g. 90% of n=451 -> 405.0) can never floor
+    to the adjacent rank the way float32 arithmetic can. Non-integral
+    percentiles fall back to float arithmetic.
+    """
+    if float(pctile).is_integer():
+        num = (n - 1) * jnp.int32(int(pctile))
+        k = jnp.maximum(num // 100, 0)
+        frac = (jnp.maximum(num - k * 100, 0).astype(dt)
+                / jnp.asarray(100, dt))
+    else:
+        pos = jnp.asarray(pctile / 100.0, dt) * (n.astype(dt) - 1.0)
+        k = jnp.maximum(jnp.floor(pos).astype(jnp.int32), 0)
+        frac = pos - k.astype(dt)
+    return k, frac
+
+
+def _select_quantile(vals, mask, pctile):
     """Linear-interpolation quantile via radix-select (sort-free).
 
     XLA's comparator sort is the bottleneck of the pooled-percentile on
@@ -73,10 +95,7 @@ def _select_quantile(vals, mask, q):
     dt = vals.dtype
     key = jnp.where(mask, _float_key(vals), _I32_MAX)
     n = jnp.sum(mask, axis=1)  # (D, C)
-    pos = (q * (n.astype(jnp.float64 if dt == jnp.float64 else jnp.float32)
-                - 1.0))
-    k = jnp.floor(pos).astype(jnp.int32)
-    k = jnp.maximum(k, 0)
+    k, frac = _quantile_rank_frac(n, pctile, dt)
 
     # greedy MSB-first bisection on the signed key domain: start at
     # INT32_MIN (all-zero unsigned pattern) and try setting each unsigned
@@ -100,7 +119,6 @@ def _select_quantile(vals, mask, q):
     has_next = hik != _I32_MAX
     vk1 = jnp.where(cnt_le > k + 1, vk,
                     jnp.where(has_next, _key_to_float(hik).astype(dt), vk))
-    frac = (pos - k.astype(pos.dtype)).astype(dt)
     out = vk + frac * (vk1 - vk)
     return jnp.where(n > 0, out, jnp.nan)
 
@@ -118,19 +136,20 @@ def _masked_sort(vals, mask):
     return svals, n
 
 
-def _interp_quantile(svals, n, q):
+def _interp_quantile(svals, n, pctile):
     """Linear-interpolation quantile of pre-sorted values.
 
     Matches numpy's default 'linear' method used by pandas/xarray groupby
-    quantile (reference: identify.py:233-235): position = q*(n-1).
+    quantile (reference: identify.py:233-235): position = q*(n-1), with
+    the rank/fraction computed exactly in int32 for integral pctile
+    (numpy's own float64 position differs by <=1e-14 of one
+    inter-order-statistic gap — below every parity tolerance).
     """
     dtype = svals.dtype
-    pos = q * (n.astype(dtype) - 1.0)
-    lo = jnp.floor(pos).astype(jnp.int32)
-    hi = jnp.ceil(pos).astype(jnp.int32)
+    lo, frac = _quantile_rank_frac(n, pctile, dtype)
+    hi = lo + (frac > 0)
     lo = jnp.clip(lo, 0, svals.shape[1] - 1)
     hi = jnp.clip(hi, 0, svals.shape[1] - 1)
-    frac = (pos - lo.astype(dtype)).astype(dtype)
     vlo = jnp.take_along_axis(svals, lo[:, None, :], axis=1)[:, 0, :]
     vhi = jnp.take_along_axis(svals, hi[:, None, :], axis=1)[:, 0, :]
     out = vlo + frac * (vhi - vlo)
@@ -158,12 +177,11 @@ def doy_clim(ts, gidx, pctile):
     if ts.dtype == jnp.float64:
         # exact-parity path (CPU): comparator sort on float64
         svals, n = _masked_sort(vals, mask)
-        thresh = _interp_quantile(svals, n,
-                                  jnp.asarray(pctile / 100.0, ts.dtype))
+        thresh = _interp_quantile(svals, n, pctile)
     else:
         # TPU path: sort-free radix-select on uint32 keys
         n = jnp.sum(mask, axis=1)
-        thresh = _select_quantile(vals, mask, pctile / 100.0)
+        thresh = _select_quantile(vals, mask, pctile)
     ssum = jnp.sum(jnp.where(mask, vals, 0.0), axis=1)
     seas = jnp.where(n > 0, ssum / jnp.maximum(n, 1).astype(ts.dtype),
                      jnp.nan)

@@ -33,8 +33,9 @@ def _round_up(x, m):
 
 
 def _kernel(starts_ref, lens_ref, ts_ref, th_ref, se_ref, pool,
-            *, ndoy, ny, rmax, zpad, q):
+            *, ndoy, ny, rmax, zpad, pctile):
     big = jnp.uint32(0xFFFFFFFF)
+    pctile_int = int(pctile) if float(pctile).is_integer() else None
 
     # NaN-fill the pool once; per-doy writes cover only ny*rmax rows
     pool[:] = jnp.full((zpad, LANES), jnp.nan, jnp.float32)
@@ -54,7 +55,8 @@ def _kernel(starts_ref, lens_ref, ts_ref, th_ref, se_ref, pool,
         vals = pool[:]
         mask = jnp.isfinite(vals)
         # all per-lane vectors stay 2D (1, LANES) for TPU tiling
-        nf = jnp.sum(mask.astype(jnp.float32), axis=0, keepdims=True)
+        ni = jnp.sum(mask.astype(jnp.int32), axis=0, keepdims=True)
+        nf = ni.astype(jnp.float32)
 
         # monotone keys. Mosaic has no unsigned reductions/compares, so
         # carry the order-preserving SIGNED form rkey = u ^ 0x80000000
@@ -68,8 +70,17 @@ def _kernel(starts_ref, lens_ref, ts_ref, th_ref, se_ref, pool,
             ukey ^ jnp.uint32(0x80000000), jnp.int32)
         imax = jnp.int32(0x7FFFFFFF)  # signed form of the masked sentinel
 
-        pos = jnp.float32(q) * (nf - 1.0)
-        k = jnp.maximum(jnp.floor(pos), 0.0).astype(jnp.int32)
+        # exact int32 rank/fraction for integral pctile (float32
+        # positions can floor to the adjacent rank — ADVICE r1)
+        if pctile_int is not None:
+            num = (ni - 1) * jnp.int32(pctile_int)
+            k = jnp.maximum(num // 100, 0)
+            frac = (jnp.maximum(num - k * 100, 0).astype(jnp.float32)
+                    * jnp.float32(0.01))
+        else:
+            pos = jnp.float32(pctile / 100.0) * (nf - 1.0)
+            k = jnp.maximum(jnp.floor(pos), 0.0).astype(jnp.int32)
+            frac = pos - k.astype(jnp.float32)
 
         def _signed(u):
             return lax.bitcast_convert_type(
@@ -102,7 +113,6 @@ def _kernel(starts_ref, lens_ref, ts_ref, th_ref, se_ref, pool,
         hik = jnp.min(gt, axis=0, keepdims=True)
         vk1 = jnp.where(cnt_le > k + 1, vk,
                         jnp.where(hik != imax, r_to_float(hik), vk))
-        frac = pos - k.astype(jnp.float32)
         th = vk + frac * (vk1 - vk)
 
         ssum = jnp.sum(jnp.where(mask, vals, 0.0), axis=0, keepdims=True)
@@ -134,8 +144,7 @@ def pallas_doy_clim(ts_padded, starts, lens, ndoy, ny, rmax, pctile=90,
     grid = (C // LANES,)
 
     kernel = functools.partial(
-        _kernel, ndoy=ndoy, ny=ny, rmax=rmax, zpad=zpad,
-        q=pctile / 100.0)
+        _kernel, ndoy=ndoy, ny=ny, rmax=rmax, zpad=zpad, pctile=pctile)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -189,13 +189,7 @@ def block_average(
     flat_years = ev_years.reshape(ev_years.shape[0], -1)
     flat_valid = ev_valid.reshape(ev_valid.shape[0], -1)
     if split:
-        # majority-block assignment for events crossing a boundary
-        y0, v0 = _years_of(mhw["time_start"].data)
-        y1, v1 = _years_of(mhw["time_end"].data)
-        mid = (y0 + y1) // 2
-        flat_years = np.where(
-            (v0 & v1).reshape(flat_valid.shape),
-            mid.reshape(flat_years.shape), flat_years)
+        flat_years = _split_assignment(mhw, bins, flat_years)
     bin_idx = np.searchsorted(bins, flat_years, side="right") - 1
     in_range = (bin_idx >= 0) & (bin_idx < nbins)
     bin_idx = np.clip(bin_idx, 0, nbins - 1)
@@ -293,6 +287,39 @@ def _block_ts_stats(out, dstime, sw_temp, sw_cats, bins, nbins,
                     out[name] = da.copy(data=masked)
     return out
 
+
+
+def _split_assignment(mhw, bins, flat_years):
+    """Year used for binning under ``split=True``: events crossing a
+    block boundary go to the block containing the MOST of their days
+    (counted from time_start/time_end; earliest block wins ties). The
+    reference's split_event is a stub (stats.py:439-443); this implements
+    its stated intent. Falls back to the midpoint year when event times
+    are not datetimes (tstep mode)."""
+    t0 = np.asarray(mhw["time_start"].data).reshape(flat_years.shape)
+    t1 = np.asarray(mhw["time_end"].data).reshape(flat_years.shape)
+    y0, v0 = _years_of(t0)
+    y1, v1 = _years_of(t1)
+    crossing = (y0 != y1) & v0 & v1
+    if not crossing.any():
+        return flat_years
+    if not np.issubdtype(t0.dtype, np.datetime64):
+        mid = (y0 + y1) // 2
+        return np.where(crossing, mid, flat_years)
+    day = np.timedelta64(1, "D")
+    t0d = t0.astype("datetime64[D]")
+    t1d = t1.astype("datetime64[D]")
+    edges = np.array([np.datetime64(f"{y:04d}-01-01", "D") for y in bins])
+    best_days = np.full(flat_years.shape, -1, np.int64)
+    best_year = flat_years.copy()
+    for i in range(len(bins) - 1):
+        ov = ((np.minimum(t1d, edges[i + 1] - day)
+               - np.maximum(t0d, edges[i])) / day).astype(np.int64) + 1
+        ov = np.where(crossing, ov, -1)
+        better = ov > best_days
+        best_days = np.where(better, ov, best_days)
+        best_year = np.where(better, bins[i], best_year)
+    return np.where(crossing & (best_days > 0), best_year, flat_years)
 
 
 def find_across(mhw):
