@@ -204,19 +204,32 @@ def _align_clim_cells(clim_da, ts_cell_coords, n_cells, name):
             f"{name} cell coordinates {sorted(clim_coords)} do not match "
             f"the timeseries {keys}")
 
-    def _key(coords, i):
-        return tuple(np.asarray(coords[k])[i].item() for k in keys)
-
-    pos = {_key(clim_coords, i): i
-           for i in range(clim_da.sizes["cell"])}
-    idx = np.empty(n_cells, np.int64)
-    for i in range(n_cells):
-        k = _key(ts_cell_coords, i)
-        if k not in pos:
-            raise XmhwException(
-                f"No climatology for cell {dict(zip(keys, k))}")
-        idx[i] = pos[k]
-    return clim_da.isel(cell=idx)
+    # vectorized label join: encode each cell's coordinate tuple as a
+    # dense int code (re-densified after every key column so codes stay
+    # bounded by the cell counts — no int64 overflow), then one
+    # searchsorted. O((E+C) log) instead of a per-cell Python loop.
+    n_clim = clim_da.sizes["cell"]
+    codes_clim = np.zeros(n_clim, np.int64)
+    codes_ts = np.zeros(n_cells, np.int64)
+    for k in keys:
+        a = np.asarray(clim_coords[k])
+        b = np.asarray(ts_cell_coords[k])
+        uni, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        codes_clim = codes_clim * len(uni) + inv[:n_clim]
+        codes_ts = codes_ts * len(uni) + inv[n_clim:]
+        uni2, inv2 = np.unique(np.concatenate([codes_clim, codes_ts]),
+                               return_inverse=True)
+        codes_clim, codes_ts = inv2[:n_clim], inv2[n_clim:]
+    order = np.argsort(codes_clim, kind="stable")
+    sorted_codes = codes_clim[order]
+    pos = np.searchsorted(sorted_codes, codes_ts)
+    ok = (pos < n_clim) & (sorted_codes[np.minimum(pos, n_clim - 1)]
+                           == codes_ts)
+    if not ok.all():
+        i = int(np.nonzero(~ok)[0][0])
+        missing = {k: np.asarray(ts_cell_coords[k])[i] for k in keys}
+        raise XmhwException(f"No climatology for cell {missing}")
+    return clim_da.isel(cell=order[pos])
 
 
 def detect(
@@ -326,61 +339,86 @@ def detect(
     return mhw
 
 
-def _assemble_events(tables, time_vals, point, ts, tdim, ds_attrs):
-    """Build the events Dataset: union of per-cell event labels.
+def _union_geometry(labels):
+    """Union of per-cell event labels + scatter geometry.
 
-    The reference's events dimension is the union of start indexes across
-    cells, NaN elsewhere (docs/gettingstarted.rst:76-114); here the dense
-    (K, cell) device tables are scattered onto that union, then the cell
-    axis is unstacked back onto the label grid (xmhw.py:465-470).
+    Returns (union (E,) int64, rows (Nvalid,), cols (Nvalid,),
+    valid (K, C) bool): entry (k, c) of a device table lands at
+    [rows, cols] of the (E, C) union layout.
     """
-    labels = tables["event"]  # (K, C)
     valid = np.isfinite(labels)
     if valid.any():
         union = np.unique(labels[valid]).astype(np.int64)
     else:
         union = np.zeros(0, np.int64)
-    E = len(union)
     K, C = labels.shape
     rows = np.searchsorted(union, labels[valid].astype(np.int64))
     cols = np.broadcast_to(np.arange(C), (K, C))[valid]
+    return union, rows, cols, valid
 
-    time_like = {"time_start", "time_end", "time_peak"}
+
+def _union_values(name, tab, valid, time_vals, time_like):
+    """Valid entries of one event variable, time-decoded if needed.
+
+    Returns (values (Nvalid,), fill, storage dtype)."""
+    if name in time_like:
+        idx = tab[valid].astype(np.int64)
+        v = time_vals[np.clip(idx, 0, len(time_vals) - 1)]
+        if np.issubdtype(np.asarray(time_vals).dtype, np.datetime64):
+            return (np.where(idx >= 0, v, np.datetime64("NaT")),
+                    np.datetime64("NaT"), v.dtype)
+        return np.where(idx >= 0, v, np.nan), np.nan, np.float64
+    return tab[valid], np.nan, tab.dtype
+
+
+_TIME_LIKE = frozenset({"time_start", "time_end", "time_peak"})
+
+
+def _assemble_events(tables, time_vals, point, ts, tdim, ds_attrs):
+    """Build the events Dataset: union of per-cell event labels.
+
+    The reference's events dimension is the union of start indexes across
+    cells, NaN elsewhere (docs/gettingstarted.rst:76-114). The dense
+    (K, cell) device tables are scattered DIRECTLY into the final
+    (events, lat, lon, ...) grids — one prefaulted allocation and one
+    vectorized scatter per variable, no intermediate (E, cell) arrays
+    (the round-1 version materialized both and was page-fault bound).
+    """
+    from .xrlite.alloc import alloc_filled
+    from .xrlite.dataarray import grid_positions
+
+    labels = tables["event"]  # (K, C)
+    union, rows, cols, valid = _union_geometry(labels)
+    E = len(union)
     ev_coord = Coord(("events",), union)
     ds = Dataset()
-    per_var = {}
-    for name, tab in tables.items():
-        if name in time_like:
-            idx = tab[valid].astype(np.int64)
-            vals = np.where(idx >= 0, idx, 0)
-            v = time_vals[vals]
-            if np.issubdtype(np.asarray(time_vals).dtype, np.datetime64):
-                out = np.full((E, C), np.datetime64("NaT"), v.dtype)
-            else:
-                out = np.full((E, C), np.nan)
-            out[rows, cols] = np.where(idx >= 0, v, out[rows, cols])
-        else:
-            out = np.full((E, C), np.nan, dtype=tab.dtype)
-            out[rows, cols] = tab[valid]
-        per_var[name] = out
 
     if point:
-        for name, out in per_var.items():
-            ds[name] = DataArray(out[:, 0], ("events",),
-                                 {"events": ev_coord})
+        for name, tab in tables.items():
+            tv, fill, dt = _union_values(name, tab, valid, time_vals,
+                                         _TIME_LIKE)
+            out = np.full(E, fill, dt)
+            out[rows] = tv
+            ds[name] = DataArray(out, ("events",), {"events": ev_coord})
         for k, v in _scalar_coords(ts, tdim).items():
             ds[k] = DataArray(np.full(E, v), ("events",),
                               {"events": ev_coord})
-    else:
-        cell_coords = _cell_coords(ts)
-        grid_dims = sorted(cell_coords)
-        uniques = None
-        for name, out in per_var.items():
-            full, uniques = unstack_cell(out, cell_coords, grid_dims)
-            coords = {"events": ev_coord}
-            for d in grid_dims:
-                coords[d] = Coord((d,), uniques[d], ds_attrs.get(d, {}))
-            ds[name] = DataArray(full, ("events", *grid_dims), coords)
+        return ds
+
+    cell_coords = _cell_coords(ts)
+    grid_dims = sorted(cell_coords)
+    flat_pos, uniques, grid_shape = grid_positions(cell_coords, grid_dims)
+    G = int(np.prod(grid_shape))
+    fidx = rows * G + flat_pos[cols]
+    coords = {"events": ev_coord}
+    for d in grid_dims:
+        coords[d] = Coord((d,), uniques[d], ds_attrs.get(d, {}))
+    for name, tab in tables.items():
+        tv, fill, dt = _union_values(name, tab, valid, time_vals,
+                                     _TIME_LIKE)
+        out = alloc_filled((E,) + grid_shape, fill, dt)
+        out.reshape(-1)[fidx] = tv
+        ds[name] = DataArray(out, ("events", *grid_dims), coords)
     return ds
 
 

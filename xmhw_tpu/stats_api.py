@@ -340,15 +340,19 @@ def rank_variable(values, axis=0):
     values = np.moveaxis(values, axis, 0)
     n = values.shape[0]
     flat = values.reshape(n, -1)
-    out = np.full(flat.shape, np.nan)
-    for c in range(flat.shape[1]):
-        col = flat[:, c]
-        fin = np.isfinite(col)
-        m = int(fin.sum())
-        if m == 0:
-            continue
-        sub = col[fin]
-        out[fin, c] = m - sub.argsort().argsort()
+    fin = np.isfinite(flat)
+    # one axis-wise argsort for ALL columns: NaNs sort to the end (as
+    # +inf), so finite entries occupy ascending positions 0..m_c-1 and
+    # rank = m_c - position (ties: the earlier occurrence gets the larger
+    # rank, matching the reference fixture [2.3,1.2,3.5,2.4,2.3]->[4,5,1,2,3])
+    asc = np.where(fin, flat, np.inf)
+    order = np.argsort(asc, axis=0, kind="stable")
+    pos = np.empty(flat.shape, np.int64)
+    np.put_along_axis(pos, order,
+                      np.broadcast_to(np.arange(n)[:, None], flat.shape),
+                      axis=0)
+    m = fin.sum(axis=0)
+    out = np.where(fin, m[None, :] - pos, np.nan)
     return np.moveaxis(out.reshape(values.shape), 0, axis)
 
 

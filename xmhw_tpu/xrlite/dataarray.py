@@ -249,42 +249,20 @@ class DataArray:
 
         Only runs of length <= ``max_gap`` (in steps) are filled, matching
         the documented intent of the reference's maxPadLength option
-        (reference: xmhw.py:74-78, 159-160).
+        (reference: xmhw.py:74-78, 159-160). Runs on device via the
+        vectorized kernel (core.events.interpolate_na_device) — the
+        per-cell Python loop this replaces was minutes at planet scale.
         """
+        import jax.numpy as jnp
+
+        from ..core.events import interpolate_na_device
+
         ax = self.dims.index(dim)
-        arr = np.moveaxis(np.array(self.data, dtype=np.float64, copy=True),
-                          ax, 0)
+        arr = np.moveaxis(np.asarray(self.data, dtype=np.float64), ax, 0)
         flat = arr.reshape(arr.shape[0], -1)
-        n = flat.shape[0]
-        idx = np.arange(n)
-        for j in range(flat.shape[1]):
-            col = flat[:, j]
-            bad = np.isnan(col)
-            if not bad.any() or bad.all():
-                continue
-            good = ~bad
-            filled = np.interp(idx, idx[good], col[good])
-            if max_gap is not None:
-                # compute NaN-run lengths; only fill short interior runs
-                runlen = np.zeros(n, dtype=int)
-                count = 0
-                for i in range(n):
-                    count = count + 1 if bad[i] else 0
-                    runlen[i] = count
-                for i in range(n - 2, -1, -1):
-                    if bad[i] and bad[i + 1]:
-                        runlen[i] = runlen[i + 1]
-                fill_ok = bad & (runlen <= max_gap)
-                # never extrapolate beyond first/last valid point
-                first, last = idx[good][0], idx[good][-1]
-                fill_ok &= (idx > first) & (idx < last)
-                col = np.where(fill_ok, filled, col)
-            else:
-                first, last = idx[good][0], idx[good][-1]
-                inner = (idx > first) & (idx < last)
-                col = np.where(bad & inner, filled, col)
-            flat[:, j] = col
-        out = np.moveaxis(flat.reshape(arr.shape), 0, ax)
+        filled = np.asarray(
+            interpolate_na_device(jnp.asarray(flat), max_gap=max_gap))
+        out = np.moveaxis(filled.reshape(arr.shape), 0, ax)
         return self.copy(data=out.astype(self.data.dtype, copy=False))
 
 
@@ -389,6 +367,35 @@ class Dataset:
         save_dataset(self, path, **kwargs)
 
 
+def grid_positions(cell_coords, out_name_dims):
+    """Flat grid index per stacked cell, plus the unstacked axes.
+
+    Returns (flat_pos (ncell,) int64, {dim: unique_sorted_labels},
+    grid_shape).
+    """
+    uniques = {}
+    pos = {}
+    for d in out_name_dims:
+        labels = np.asarray(cell_coords[d])
+        u, inv = np.unique(labels, return_inverse=True)
+        uniques[d] = u
+        pos[d] = inv
+    grid_shape = tuple(len(uniques[d]) for d in out_name_dims)
+    flat_pos = np.ravel_multi_index(
+        tuple(pos[d] for d in out_name_dims), grid_shape
+    )
+    return flat_pos, uniques, grid_shape
+
+
+def _fill_like(dtype, fill):
+    """(storage dtype, fill value) for scattering into a padded grid."""
+    if np.issubdtype(dtype, np.datetime64):
+        return dtype, np.datetime64("NaT")
+    if np.issubdtype(dtype, np.floating):
+        return dtype, fill
+    return np.result_type(dtype, np.float64), fill
+
+
 def unstack_cell(data, cell_coords, out_name_dims, fill=np.nan):
     """Scatter a trailing flat ``cell`` axis back onto the label grid.
 
@@ -402,26 +409,13 @@ def unstack_cell(data, cell_coords, out_name_dims, fill=np.nan):
     xarray's ``unstack('cell')`` after a create_index=False stack
     (reference: xmhw.py:213-214 via set_xindex + unstack).
     """
-    uniques = {}
-    pos = {}
-    for d in out_name_dims:
-        labels = np.asarray(cell_coords[d])
-        u, inv = np.unique(labels, return_inverse=True)
-        uniques[d] = u
-        pos[d] = inv
-    grid_shape = tuple(len(uniques[d]) for d in out_name_dims)
+    from .alloc import alloc_filled
+
+    flat_pos, uniques, grid_shape = grid_positions(cell_coords,
+                                                   out_name_dims)
     lead = data.shape[:-1]
-    if np.issubdtype(data.dtype, np.datetime64):
-        out = np.full(lead + grid_shape, np.datetime64("NaT"),
-                      dtype=data.dtype)
-    elif np.issubdtype(data.dtype, np.floating):
-        out = np.full(lead + grid_shape, fill, dtype=data.dtype)
-    else:
-        out = np.full(lead + grid_shape, fill,
-                      dtype=np.result_type(data.dtype, np.float64))
-    flat_pos = np.ravel_multi_index(
-        tuple(pos[d] for d in out_name_dims), grid_shape
-    )
+    out_dtype, fill_v = _fill_like(data.dtype, fill)
+    out = alloc_filled(lead + grid_shape, fill_v, out_dtype)
     out_flat = out.reshape(lead + (int(np.prod(grid_shape)),))
     out_flat[..., flat_pos] = data
     return out_flat.reshape(lead + grid_shape), uniques
