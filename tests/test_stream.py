@@ -1,0 +1,121 @@
+"""Streamed file-to-file pipeline vs the in-memory API.
+
+The stream module automates the reference's manual big-grid workflow
+(reference: docs/dask.rst:44-86): stripe reads, device kernels, region
+writes. These tests pin byte-level agreement with threshold()/detect()
+on a synthetic grid with land, across stripe sizes that force multiple
+stripes."""
+
+import numpy as np
+import pytest
+
+import xmhw_tpu as xm
+from xmhw_tpu.stream import stream_detect, stream_threshold
+from xmhw_tpu.xrlite import Coord, DataArray, Dataset
+
+
+@pytest.fixture(scope="module")
+def grid_file(tmp_path_factory):
+    rng = np.random.default_rng(42)
+    t = np.arange("2000-01-01", "2003-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")
+    T = len(t)
+    ny, nx = 12, 8
+    day = np.arange(T)[:, None, None]
+    sst = (15 + 3 * np.sin(2 * np.pi * day / 365.25)
+           + rng.normal(0, 2.2, (T, ny, nx))).astype(np.float64)
+    sst[:, 0, 0] = np.nan  # land
+    sst[:, 5, 3] = np.nan
+    sst[100:104, 2, 2] = np.nan  # short gap
+    lat = np.linspace(-40, -30, ny)
+    lon = np.linspace(140, 147, nx)
+    ds = Dataset()
+    tcoord = Coord(("time",), t)
+    ds["sst"] = DataArray(
+        sst, ("time", "lat", "lon"),
+        {"time": tcoord, "lat": Coord(("lat",), lat),
+         "lon": Coord(("lon",), lon)}, {"units": "degC"})
+    path = tmp_path_factory.mktemp("stream") / "sst.nc"
+    xm.save_dataset(ds, str(path))
+    return str(path), ds["sst"]
+
+
+@pytest.mark.parametrize("stripe", [12, 5])
+def test_stream_threshold_matches_api(grid_file, tmp_path, stripe):
+    path, sst = grid_file
+    out = str(tmp_path / f"clim_{stripe}.nc")
+    stream_threshold(path, "sst", out, dtype=np.float64, stripe=stripe)
+    got = xm.open_dataset(out)
+    exp = xm.threshold(sst, dtype=np.float64)
+    for v in ("thresh", "seas"):
+        np.testing.assert_allclose(got[v].data, exp[v].data,
+                                   atol=1e-12, equal_nan=True)
+        assert got[v].dims == ("doy", "lat", "lon")
+    np.testing.assert_array_equal(got.coords["lat"].values,
+                                  exp["thresh"].coords["lat"].values)
+
+
+def test_stream_detect_compact_matches_api(grid_file, tmp_path):
+    path, sst = grid_file
+    clim_out = str(tmp_path / "clim.nc")
+    stream_threshold(path, "sst", clim_out, dtype=np.float64)
+    mhw_out = str(tmp_path / "mhw.nc")
+    stream_detect(path, "sst", clim_out, mhw_out, dtype=np.float64,
+                  stripe=5, events_layout="compact")
+    got = xm.open_dataset(mhw_out)
+    clim = xm.threshold(sst, dtype=np.float64)
+    exp = xm.detect(sst, clim["thresh"], clim["seas"], dtype=np.float64,
+                    events_layout="compact")
+    kmax = exp["event"].sizes["ev"]
+    for v in ("event", "duration", "intensity_max", "intensity_cumulative",
+              "rate_onset", "rate_decline", "severity_var", "category"):
+        np.testing.assert_allclose(got[v].data[:kmax], exp[v].data,
+                                   atol=1e-9, equal_nan=True)
+        assert np.isnan(got[v].data[kmax:]).all()
+    for v in ("time_start", "time_end", "time_peak"):
+        a = got[v].data[:kmax]
+        b = exp[v].data
+        np.testing.assert_array_equal(np.isnat(a), np.isnat(b))
+        np.testing.assert_array_equal(a[~np.isnat(a)], b[~np.isnat(b)])
+
+
+def test_stream_detect_union_matches_api(grid_file, tmp_path):
+    path, sst = grid_file
+    clim_out = str(tmp_path / "clim_u.nc")
+    stream_threshold(path, "sst", clim_out, dtype=np.float64)
+    mhw_out = str(tmp_path / "mhw_u.nc")
+    stream_detect(path, "sst", clim_out, mhw_out, dtype=np.float64,
+                  stripe=4, events_layout="union")
+    got = xm.open_dataset(mhw_out)
+    clim = xm.threshold(sst, dtype=np.float64)
+    exp = xm.detect(sst, clim["thresh"], clim["seas"], dtype=np.float64)
+    np.testing.assert_array_equal(got.coords["events"].values,
+                                  exp["event"].coords["events"].values)
+    for v in ("event", "duration", "intensity_max", "intensity_mean",
+              "severity_cumulative", "rate_onset"):
+        np.testing.assert_allclose(got[v].data, exp[v].data,
+                                   atol=1e-9, equal_nan=True)
+    for v in ("time_start", "time_peak"):
+        a, b = got[v].data, exp[v].data
+        np.testing.assert_array_equal(np.isnat(a), np.isnat(b))
+        np.testing.assert_array_equal(a[~np.isnat(a)], b[~np.isnat(b)])
+
+
+def test_stream_threshold_climatology_period(grid_file, tmp_path):
+    path, sst = grid_file
+    out = str(tmp_path / "clim_p.nc")
+    stream_threshold(path, "sst", out, dtype=np.float64,
+                     climatologyPeriod=[2000, 2001])
+    got = xm.open_dataset(out)
+    exp = xm.threshold(sst, dtype=np.float64,
+                       climatologyPeriod=[2000, 2001])
+    np.testing.assert_allclose(got["thresh"].data, exp["thresh"].data,
+                               atol=1e-12, equal_nan=True)
+
+
+def test_stream_detect_rejects_bad_gap(grid_file, tmp_path):
+    path, _ = grid_file
+    from xmhw_tpu.exception import XmhwException
+    with pytest.raises(XmhwException):
+        stream_detect(path, "sst", path, str(tmp_path / "x.nc"),
+                      minDuration=3, maxGap=4)

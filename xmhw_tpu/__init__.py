@@ -15,7 +15,9 @@ Public API (reference parity: README.rst:16-21):
 from .api import detect, flip_cold, land_check, threshold
 from .exception import XmhwException
 from .stats_api import block_average, mhw_rank
-from .xrlite import DataArray, Dataset, TimeIndex, open_dataset
+from .stream import stream_detect, stream_threshold
+from .xrlite import (DataArray, Dataset, TimeIndex, open_dataset,
+                     save_dataset)
 
 __version__ = "0.1.0"
 
@@ -30,6 +32,9 @@ __all__ = [
     "land_check",
     "mhw_rank",
     "open_dataset",
+    "save_dataset",
+    "stream_detect",
+    "stream_threshold",
     "threshold",
     "__version__",
 ]
