@@ -15,8 +15,15 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("XMHW_TPU_TESTS"):
+    # TPU-compiled kernel tests (tests/test_tpu_compiled.py): keep the
+    # real backend and float32. Run as:
+    #   XMHW_TPU_TESTS=1 PYTHONPATH=/root/repo:/root/.axon_site \
+    #       python -m pytest tests/test_tpu_compiled.py -v
+    pass
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402

@@ -382,3 +382,37 @@ def test_block_average_split_majority_days():
                             mtime="time_start")
     np.testing.assert_array_equal(np.nan_to_num(out2["ecount"].values),
                                   [2.0, 0.0])
+
+
+def test_check_coordinates_unstacked_grid(oisst_ts, mhw_oisst):
+    """Reference stats.py:241-281: an unstacked (time, lat, lon) dstime is
+    accepted (land handled — NaN cells drop out of every aggregation) and
+    the time dim is found by dtype, whatever its name."""
+    from xmhw_tpu.stats_api import check_coordinates
+
+    mhw, _ = mhw_oisst
+    tdim, stack = check_coordinates(
+        Dataset({"ts": oisst_ts}) if not isinstance(oisst_ts, Dataset)
+        else oisst_ts)
+    assert tdim == "time" and stack == "grid"
+    # full block_average with the unstacked grid dstime
+    out = xm.block_average(mhw, dstime=oisst_ts)
+    assert out["ts_mean"].dims == ("years", "lat", "lon")
+    # reference raises on an all-land grid
+    land = oisst_ts.copy(data=np.full_like(oisst_ts.data, np.nan))
+    with pytest.raises(XmhwException):
+        check_coordinates(Dataset({"ts": land}))
+
+
+def test_check_coordinates_point_and_renamed_time(oisst_ts):
+    from xmhw_tpu.stats_api import check_coordinates
+    from xmhw_tpu.xrlite import Coord, DataArray
+
+    pt = oisst_ts.sel(lat=-42.625, lon=148.125)
+    tdim, stack = check_coordinates(Dataset({"ts": pt}))
+    assert stack == "point"
+    # renamed time dim is still found by datetime dtype
+    t = pt.coords["time"].values
+    da = DataArray(pt.data, ("T",), {"T": Coord(("T",), t)})
+    tdim, stack = check_coordinates(Dataset({"ts": da}))
+    assert tdim == "T"

@@ -32,7 +32,8 @@ import numpy as np
 from .exception import XmhwException
 from .xrlite import Coord, DataArray, Dataset, TimeIndex
 
-__all__ = ["block_average", "mhw_rank", "rank_variable"]
+__all__ = ["block_average", "check_coordinates", "check_variables",
+           "mhw_rank", "rank_variable"]
 
 # block stats: output name -> (event variable, reduction)
 # (reference aggregation dict: stats.py:343-362)
@@ -129,6 +130,51 @@ def check_variables(dstime):
     return dstime, sw_cats, sw_temp
 
 
+def check_coordinates(dstime, tdim=None):
+    """Identify the time dimension and the cell stacking of ``dstime``.
+
+    Reference: stats.py:241-281 — finds the time dim by datetime dtype,
+    treats a 1-D input as a point, a 'cell'/int64 dim as already stacked,
+    and applies land_check semantics to an unstacked grid (raises on
+    0-length dims and when every cell is land).
+
+    Returns (tdim, stack_coord) with stack_coord one of 'point', 'cell'
+    (already stacked) or 'grid' (unstacked lat/lon-style dims; the binned
+    reducers flatten them and NaN cells fall out of every aggregation,
+    which is land_check + unstack-to-NaN in one step).
+    """
+    da = dstime["ts"] if not isinstance(dstime, DataArray) else dstime
+    if tdim is None:
+        for d in da.dims:
+            c = da.coords.get(d)
+            if c is None:
+                continue
+            vals = c.values
+            if isinstance(vals, TimeIndex) or np.issubdtype(
+                    np.asarray(vals).dtype, np.datetime64):
+                tdim = d
+                break
+    if tdim is None:
+        tdim = "time" if "time" in da.dims else (
+            "index" if "index" in da.dims else None)
+    if tdim is None or tdim not in da.dims:
+        raise XmhwException(
+            "Cannot identify a time dimension in the dstime input")
+    other = [d for d in da.dims if d != tdim]
+    if not other:
+        return tdim, "point"
+    for d in other:
+        if da.sizes[d] == 0:
+            raise XmhwException(f"Dimension {d} has 0 lenght, exiting")
+    if len(other) == 1 and (other[0] == "cell" or
+                            other[0] not in da.coords):
+        return tdim, other[0]
+    tax = da.dims.index(tdim)
+    if bool(np.isnan(np.asarray(da.data)).all(axis=tax).all()):
+        raise XmhwException("All points of grid are either land or NaN")
+    return tdim, "grid"
+
+
 def _flatten_cells(da, lead_dim):
     """(lead, *grid) -> (lead, C) plus grid metadata for unstacking."""
     grid_dims = [d for d in da.dims if d != lead_dim]
@@ -163,8 +209,8 @@ def block_average(
     sw_cats = False
     if dstime is not None:
         dstime, sw_cats, sw_temp = check_variables(dstime)
-        tdim = "time" if "time" in dstime.coords else "index"
-        tvals = dstime.coords[tdim].values
+        tdim, _stack = check_coordinates(dstime)
+        tvals = dstime["ts"].coords[tdim].values
         tyears, _ = _years_of(tvals)
         period = [int(tyears[0]), int(tyears[-1])]
 
@@ -195,7 +241,9 @@ def block_average(
     bin_idx = np.clip(bin_idx, 0, nbins - 1)
     flat_valid = flat_valid & in_range
 
-    ev_dim = mhw[mtime].dims[0]  # "events" (union) or "ev" (compact)
+    tdims = mhw[mtime].dims
+    ev_dim = ("events" if "events" in tdims else
+              "ev" if "ev" in tdims else tdims[0])
     grid_dims = [d for d in mhw[mtime].dims if d != ev_dim]
     grid_shape = tuple(mhw[mtime].sizes[d] for d in grid_dims)
 
@@ -240,8 +288,8 @@ def _block_ts_stats(out, dstime, sw_temp, sw_cats, bins, nbins,
     """Per-day ts / category block stats appended to ``out``."""
     if sw_temp:
         mode = "cats" if sw_cats else "ts"
-        tdim = "time" if "time" in dstime.coords else "index"
-        tyears, _ = _years_of(dstime.coords[tdim].values)
+        tdim, _stack = check_coordinates(dstime)
+        tyears, _ = _years_of(dstime["ts"].coords[tdim].values)
         ts_flat, ts_grid_dims, ts_grid_shape = _flatten_cells(
             dstime["ts"], tdim)
         dy_idx = np.searchsorted(bins, tyears, side="right") - 1
