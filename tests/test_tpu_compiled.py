@@ -34,10 +34,11 @@ def _series(T, C, seed=0):
 def test_pallas_clim_compiled_vs_f64_oracle():
     """Compiled fused window-percentile kernel vs the independent numpy
     float64 oracle (radix-select + exact int32 rank arithmetic on chip)."""
+    import jax.numpy as jnp
     from oracle import clim_oracle
 
     from xmhw_tpu.core.calendar import build_window_ranges, compute_doy
-    from xmhw_tpu.ops.pallas.doy_quantile import doy_clim_pallas
+    from xmhw_tpu.core.pipeline import _pallas_clim_block
     from xmhw_tpu.xrlite import TimeIndex
 
     t = np.arange("2001-01-01", "2005-01-01",
@@ -45,12 +46,17 @@ def test_pallas_clim_compiled_vs_f64_oracle():
     T = len(t)
     doy, ndoy = compute_doy(TimeIndex(t))
     starts, lens, ny, rmax = build_window_ranges(doy, 5, ndoy)
-    C = 160
+    C = 128
     ts = _series(T, C)
     ts[100:140, 7] = np.nan  # missing chunk
     ts[:, 3] = np.nan        # land cell
+    ts_p = np.pad(ts, ((0, rmax), (0, 0)), constant_values=np.nan)
 
-    th, se = doy_clim_pallas(ts, starts, lens, ny, rmax, pctile=90)
+    # full shipped pipeline: pool kernel + feb29 patch + 31-day smoothing
+    th, se = _pallas_clim_block(
+        jnp.asarray(ts_p), jnp.asarray(starts.reshape(-1)),
+        jnp.asarray(lens.reshape(-1)), ndoy=ndoy, ny=ny, rmax=rmax,
+        pctile=90, smooth=True, smooth_w=31, patch_feb29=True)
     th, se = np.asarray(th), np.asarray(se)
     assert np.isnan(th[:, 3]).all() and np.isnan(se[:, 3]).all()
 
