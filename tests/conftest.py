@@ -66,6 +66,13 @@ def clim_oisst_nosmooth():
     return _golden("test_clim_oisst_nosmooth.nc")
 
 
+@pytest.fixture(scope="session")
+def dsnorm():
+    # reference-pipeline per-day event labels + relThreshNorm
+    # (reference: test/xmhw_fixtures.py:36,64-66)
+    return _golden("relthreshnorm.nc")
+
+
 @pytest.fixture
 def oisst_doy():
     # expected 366-calendar doys for 2003 (non-leap) + 2004 (leap)

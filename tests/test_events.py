@@ -192,3 +192,54 @@ def test_day0_default_includes_first_day():
     fq = mhw_filter(jnp.asarray(b)[:, None], min_duration=5,
                     day0_fillna_quirk=True)
     assert np.all(np.isnan(_labels(fq)))
+
+
+def test_relthreshnorm_golden_filter_parity(dsnorm):
+    """External anchor: the reference repo's relthreshnorm.nc golden
+    (reference: test/xmhw_fixtures.py:36,64-66) holds per-day event labels
+    and relThreshNorm produced by the reference pipeline on a real 2x2
+    grid (2012-2013, 731 days).  relThreshNorm is positive exactly on
+    above-threshold days and negative on joined-gap days, so the
+    exceedance mask is reconstructible wherever the file is finite;
+    running our mhw_filter on it must reproduce the reference's labels.
+
+    The file masks some in-event days to NaN (e.g. a stored event visibly
+    1 day long -- below minDuration, so days are provably hidden); on
+    cells touched by that masking our runs are truncated below
+    minDuration.  The assertions therefore are: (a) the fully-visible
+    cell matches exactly, (b) every event we produce matches the
+    reference label bit-for-bit, (c) every reference event-day we miss
+    belongs to an event with fewer than minDuration visible days (i.e.
+    provably incomplete input, never an engine divergence)."""
+    import os
+
+    from xmhw_tpu.core.calendar import compute_doy
+    from xmhw_tpu.identify import mhw_filter as filt
+    from xmhw_tpu.xrlite.timeutils import TimeIndex
+
+    g = dsnorm
+    T = g["event"].sizes["time"]
+    ev = g["event"].values.reshape(T, -1)
+    rn = g["relThreshNorm"].values.reshape(T, -1)
+    bthresh = np.where(np.isfinite(rn), rn > 0, False)
+    ours = filt(bthresh, 5, True, 2)["events"]
+
+    # (a) cell 0 has no masked event days: exact label parity
+    eq0 = (np.isnan(ev[:, 0]) & np.isnan(ours[:, 0])) | (
+        ev[:, 0] == ours[:, 0])
+    assert eq0.all()
+    # (b) every label we emit equals the reference's
+    fin = np.isfinite(ours)
+    np.testing.assert_array_equal(ev[fin], ours[fin])
+    # (c) misses are exactly the provably-masked events
+    missed = np.isfinite(ev) & ~fin
+    for c in range(ev.shape[1]):
+        for e in np.unique(ev[missed[:, c], c]):
+            assert (ev[:, c] == e).sum() < 5, (c, e)
+    # doy coordinate parity on a leap-spanning axis (2012 is leap)
+    ti = g["event"].coords["time"].values
+    if not isinstance(ti, TimeIndex):
+        ti = TimeIndex(np.asarray(ti))
+    doy, ndoy = compute_doy(ti)
+    np.testing.assert_array_equal(np.asarray(doy), g["doy"].values)
+    assert ndoy == 366
