@@ -76,7 +76,9 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     Returns
     -------
     table: dict of (K, C) arrays — all per-event properties; NaN-padded
-    n_events: (C,) int32
+    n_events: (C,) int32 — RAW per-cell event count (may exceed K; the
+        table only holds the first K events — callers use the excess to
+        detect overflow and retry with a larger K)
     inter: dict of (T, C) per-day arrays (empty when intermediate=False)
     """
     T, C = ts.shape
@@ -90,7 +92,9 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
                    max_gap=max_gap, day0_fillna_quirk=day0_fillna_quirk)
     day = f["event_day"]
     slot_raw = f["slot"]
-    n_events = jnp.minimum(f["n_events"], K)
+    # raw count (may exceed K); rows beyond K land in the trash row
+    n_events = f["n_events"]
+    n_valid = jnp.minimum(n_events, K)
 
     idx = lax.broadcasted_iota(_I32, ts.shape, 0)
     cols = lax.broadcasted_iota(_I32, ts.shape, 1)
@@ -193,7 +197,7 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     i_am_last = last_finite(fin_am)
 
     valid = (lax.broadcasted_iota(_I32, (K, C), 0)
-             < n_events[None, :])
+             < n_valid[None, :])
 
     def gather_day(x, pos, pos_valid):
         v = x[pos.clip(0, T - 1), lax.broadcasted_iota(_I32, (K, C), 1)]

@@ -68,7 +68,10 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
                    max_gap=max_gap, day0_fillna_quirk=day0_fillna_quirk)
     day = f["event_day"]
     is_start = f["is_start"]
-    n_events = jnp.minimum(f["n_events"], K)
+    # raw per-cell count (may exceed K — callers detect table overflow
+    # from it and retry with a larger K); rows beyond K are not emitted
+    n_events = f["n_events"]
+    n_valid = jnp.minimum(n_events, K)
 
     # ---- per-day derived columns (reference: features.py:44-68) ----------
     anom = ts - seas_t
@@ -94,27 +97,36 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     fin_ap = jnp.isfinite(anom_plus) & day
     fin_am = jnp.isfinite(anom_minus) & day
 
-    # ---- compaction geometry: binary search, no sort, no scatters --------
+    # ---- compaction geometry: two-level counting, no sort, no scatters ----
     # cumstart = slot+1 = cumsum(is_start) is monotone along time (already
     # computed by mhw_filter), so the start day of event k is the first t
-    # with cumstart >= k+1 — a 14-step vectorized bisection of (K, C)
-    # gathers. Replaces a lax.top_k over the full time axis (measured
-    # ~88 ms / 4096 cells) and the start-at-end gather.
+    # with cumstart >= k+1. A direct bisection needs ~14 strided gathers
+    # from the (T, C) array (measured ~150 ms / 4096 cells — TPU gathers
+    # along the major axis are latency-bound); instead count at two
+    # levels: (1) block-final samples (nbk, C) locate the 128-row block
+    # by a broadcast compare+sum, (2) ONE gather pulls each event's block
+    # and a second compare+sum finds the offset within it. Also replaces
+    # the earlier lax.top_k compaction (measured ~88 ms / 4096 cells).
     cumstart = f["slot"] + 1  # (T, C) monotone
     target = (lax.broadcasted_iota(_I32, (K, C), 0) + 1)  # k+1 per row
 
-    def bisect(i, lohi):
-        lo, hi = lohi
-        mid = (lo + hi) // 2
-        v = jnp.take_along_axis(cumstart, mid, axis=0)  # (K, C)
-        ge = v >= target
-        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
-
-    steps = max(T.bit_length(), 1)
-    lo0 = jnp.zeros((K, C), _I32)
-    hi0 = jnp.full((K, C), T - 1, _I32)
-    _, start_pos = lax.fori_loop(0, steps, bisect, (lo0, hi0))
-    valid = (lax.broadcasted_iota(_I32, (K, C), 0) < n_events[None, :])
+    TBK = 128
+    nbk = -(-T // TBK)
+    if nbk * TBK != T:  # pad rows repeat the final count: never < target
+        cpad = jnp.concatenate(
+            [cumstart,
+             jnp.broadcast_to(cumstart[-1:], (nbk * TBK - T, C))], axis=0)
+    else:
+        cpad = cumstart
+    blocks = cpad.reshape(nbk, TBK, C)
+    blk_final = blocks[:, TBK - 1, :]  # (nbk, C)
+    bk = jnp.sum((blk_final[:, None, :] < target[None, :, :])
+                 .astype(_I32), axis=0)  # (K, C) block holding event k
+    blk = jnp.take_along_axis(
+        blocks, jnp.clip(bk, 0, nbk - 1)[:, None, :], axis=0)  # (K,TBK,C)
+    within = jnp.sum((blk < target[:, None, :]).astype(_I32), axis=1)
+    start_pos = jnp.minimum(bk * TBK + within, T - 1)
+    valid = (lax.broadcasted_iota(_I32, (K, C), 0) < n_valid[None, :])
     start = jnp.where(valid, start_pos, 0)
     end_pos = jnp.take_along_axis(
         jnp.where(day, f["ev_end"], 0), start, axis=0)
@@ -149,12 +161,17 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
         from ..ops.pallas.detect_scan import fused_detect_scans
 
         shifts = jnp.concatenate([a_rs, a_rt, a_sv, a_ma], axis=0)
-        Praw, pl_scan = fused_detect_scans(
+        S31 = fused_detect_scans(
             ts, thresh_t, seas_t, anom_plus, anom_minus, day, is_start,
             shifts, interpret=pallas_interpret)
-        NS = Praw.shape[1]
-        P = jnp.concatenate(
-            [jnp.zeros((1, NS, C), Praw.dtype), Praw], axis=0)
+        # the segmented-sum value at an event's end row IS the event
+        # total, and the min/max/argmax channels plus their value
+        # payloads ride the same array: ONE boundary gather serves all
+        # 31 channels — no (T, C) series is ever gathered at event
+        # positions on this path
+        G31 = jnp.take_along_axis(S31, end_pos[:, None, :], axis=0)
+        R = lax.bitcast_convert_type(G31[:, :17, :], jnp.float32)
+        pl_scan = G31[:, 17:, :]
     else:
         pl_scan = None
         sources = [
@@ -177,10 +194,11 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
         P = jnp.concatenate(
             [jnp.zeros((1, NS, C), S.dtype), mxu_cumsum(S, axis=0)],
             axis=0)
-    # ONE batched gather per boundary (indices broadcast over channels)
-    hi = jnp.take_along_axis(P, endp1[:, None, :], axis=0)
-    lo_ = jnp.take_along_axis(P, start[:, None, :], axis=0)
-    R = hi - lo_  # (K, NS, C)
+        # ONE batched gather per boundary (indices broadcast over
+        # channels); event totals are prefix differences
+        hi = jnp.take_along_axis(P, endp1[:, None, :], axis=0)
+        lo_ = jnp.take_along_axis(P, start[:, None, :], axis=0)
+        R = hi - lo_  # (K, NS, C)
 
     def stats_from(i, a):
         n = R[:, i, :]
@@ -204,8 +222,8 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
 
     # ---- ONE fused segmented scan: max/argmax + first/last finite --------
     if use_pallas_scan:
-        # segmented scan already ran inside the Pallas kernel
-        G = jnp.take_along_axis(pl_scan, end_pos[:, None, :], axis=0)
+        # segmented scan ran inside the Pallas kernel; already gathered
+        G = pl_scan
 
         def _f32(i):
             return lax.bitcast_convert_type(G[:, i, :], jnp.float32)
@@ -281,24 +299,39 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     max_sv = jnp.where(valid & (n_sv > 0), e_max_sv, nan)
     max_ct = jnp.where(valid & (n_ct > 0), e_max_ct, nan)
 
-    # one sliced gather for the six value lookups: stack sources, then
-    # gather each column's slice at its own position via a flat index
-    val_stack = jnp.stack([relSeas, relSeas, anom_plus, anom_minus,
-                           relThresh, mabs], axis=1)  # (T, 6, C)
-    pos_stack = jnp.stack([i_rs_first, i_rs_last, i_ap_first, i_am_last,
-                           peak, peak], axis=1)  # (K, 6, C)
-    V = jnp.take_along_axis(val_stack,
-                            jnp.clip(pos_stack, 0, T - 1), axis=0)
+    if use_pallas_scan:
+        # value payloads rode the kernel's scan (channels 8-13 of the
+        # post-17 slice): no series gathers needed
+        def _pay(i, ok):
+            v = lax.bitcast_convert_type(pl_scan[:, 8 + i, :],
+                                         jnp.float32)
+            return jnp.where(valid & ok, v, nan)
 
-    def _val(i, ok):
-        return jnp.where(valid & ok, V[:, i, :], nan)
+        relS_first = _pay(0, i_rs_first < bigi)
+        relS_last = _pay(1, i_rs_last >= 0)
+        anom_first = _pay(2, i_ap_first < bigi)
+        anom_last = _pay(3, i_am_last >= 0)
+        int_max_relT = _pay(4, n_rs > 0)
+        int_max_abs = _pay(5, n_rs > 0)
+    else:
+        # one sliced gather for the six value lookups: stack sources,
+        # then gather each column's slice at its own position
+        val_stack = jnp.stack([relSeas, relSeas, anom_plus, anom_minus,
+                               relThresh, mabs], axis=1)  # (T, 6, C)
+        pos_stack = jnp.stack([i_rs_first, i_rs_last, i_ap_first,
+                               i_am_last, peak, peak], axis=1)  # (K,6,C)
+        V = jnp.take_along_axis(val_stack,
+                                jnp.clip(pos_stack, 0, T - 1), axis=0)
 
-    relS_first = _val(0, i_rs_first < bigi)
-    relS_last = _val(1, i_rs_last >= 0)
-    anom_first = _val(2, i_ap_first < bigi)
-    anom_last = _val(3, i_am_last >= 0)
-    int_max_relT = _val(4, n_rs > 0)
-    int_max_abs = _val(5, n_rs > 0)
+        def _val(i, ok):
+            return jnp.where(valid & ok, V[:, i, :], nan)
+
+        relS_first = _val(0, i_rs_first < bigi)
+        relS_last = _val(1, i_rs_last >= 0)
+        anom_first = _val(2, i_ap_first < bigi)
+        anom_last = _val(3, i_am_last >= 0)
+        int_max_relT = _val(4, n_rs > 0)
+        int_max_abs = _val(5, n_rs > 0)
 
     # ---- closed-form properties (reference: features.py:161-295) ----------
     startf = jnp.where(valid, start, 0).astype(dt)

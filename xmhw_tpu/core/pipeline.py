@@ -247,13 +247,16 @@ def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
     ``th_np``/``se_np`` are (D, C) doy climatologies; ``doy_pos_np`` (T,)
     maps timesteps to climatology rows (broadcast happens on device).
 
-    Each cell block is uploaded ONCE and stays device-resident for both
-    the cheap counting pass (which fixes that block's event-table capacity
-    K) and the feature pass — H2D traffic is one ts/th/se transfer per
-    block. Per-block K values are rounded (32, then powers of two) so at
-    most a handful of kernel variants compile; the host output is padded
-    to the global maximum. Replaces the per-cell define_events fan-out
-    (reference: xmhw/xmhw.py:440-454, identify.py:328-412).
+    Each cell block is uploaded ONCE and stays device-resident; H2D
+    traffic is one ts/th/se transfer per block. The event-table capacity
+    K is fixed by a cheap counting pass on the FIRST block only; later
+    blocks run the feature pass optimistically and retry with a larger K
+    when the raw per-cell counts (returned by detect_kernel even beyond
+    K) overflow the table — in the common case that saves one full
+    mhw_filter pass per block. K values are rounded (32, then powers of
+    two) so at most a handful of kernel variants compile; the host output
+    is padded to the global maximum. Replaces the per-cell define_events
+    fan-out (reference: xmhw/xmhw.py:440-454, identify.py:328-412).
     """
     import logging
 
@@ -269,38 +272,48 @@ def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
             runner.block = -(-runner.block // quantum) * quantum
 
     kcap_eff = _round_k(k_cap) if k_cap is not None else None
+
+    def _cap(k):
+        return min(k, kcap_eff) if kcap_eff is not None else k
+
     blocks_out = []  # (lo, w, tables, inter) per block
     n_events = np.zeros(C, np.int32)
     kmax_global = 1
     dropped = 0
+    K = None
     doy_pos = runner.device_replicated(doy_pos_np)
     for lo in runner.blocks():
         ts = runner.device_block(ts_np, lo)
         th = runner.device_block(th_np, lo)
         se = runner.device_block(se_np, lo)
-        n = _count_kernel(ts, th, doy_pos, min_duration=min_duration,
-                          join_gaps=join_gaps, max_gap=max_gap,
-                          day0_fillna_quirk=day0_fillna_quirk)
-        K = _round_k(int(jnp.max(n)))
-        if kcap_eff is not None and K > kcap_eff:
-            dropped += int(jnp.sum(jnp.maximum(n - kcap_eff, 0)))
-            K = kcap_eff
+        if K is None:
+            n = _count_kernel(ts, th, doy_pos, min_duration=min_duration,
+                              join_gaps=join_gaps, max_gap=max_gap,
+                              day0_fillna_quirk=day0_fillna_quirk)
+            K = _cap(_round_k(int(jnp.max(n))))
+        while True:
+            static_kw = dict(
+                K=K, min_duration=min_duration, join_gaps=join_gaps,
+                max_gap=max_gap, intermediate=intermediate,
+                use_pallas_scan=use_pallas_scan,
+                pallas_interpret=pallas_interpret,
+                day0_fillna_quirk=day0_fillna_quirk)
+            if use_pallas_scan and runner.mesh is not None:
+                fn = _sharded_detect_kernel(runner.mesh, **static_kw)
+                tbl, nev, inter = fn(ts, th, se, doy_pos)
+            else:
+                tbl, nev, inter = detect_kernel(ts, th, se, doy_pos,
+                                                **static_kw)
+            raw_max = int(jnp.max(nev))
+            if raw_max <= K or _cap(_round_k(raw_max)) == K:
+                break
+            K = _cap(_round_k(raw_max))  # overflow: retry larger
         kmax_global = max(kmax_global, K)
-        static_kw = dict(
-            K=K, min_duration=min_duration, join_gaps=join_gaps,
-            max_gap=max_gap, intermediate=intermediate,
-            use_pallas_scan=use_pallas_scan,
-            pallas_interpret=pallas_interpret,
-            day0_fillna_quirk=day0_fillna_quirk)
-        if use_pallas_scan and runner.mesh is not None:
-            fn = _sharded_detect_kernel(runner.mesh, **static_kw)
-            tbl, nev, inter = fn(ts, th, se, doy_pos)
-        else:
-            tbl, nev, inter = detect_kernel(ts, th, se, doy_pos,
-                                            **static_kw)
+        nev = np.asarray(nev)
+        dropped += int(np.maximum(nev - K, 0).sum())  # only under k_cap
         hi = min(lo + runner.block, C)
         w = hi - lo
-        n_events[lo:hi] = np.asarray(nev)[:w]
+        n_events[lo:hi] = np.minimum(nev, K)[:w]
         blocks_out.append(
             (lo, w,
              {k: np.asarray(v)[:, :w] for k, v in tbl.items()},

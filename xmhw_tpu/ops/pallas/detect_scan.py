@@ -3,12 +3,18 @@
 Replaces three XLA stages of the detection feature engine with a single
 forward pass over time (VMEM carries across time blocks):
 
-1. the 17-channel stacked prefix sums (counts / shifted sums / shifted
-   sum-of-squares / category-flag counts),
+1. the 17-channel stacked SEGMENTED sums (counts / shifted sums /
+   shifted sum-of-squares / category-flag counts, reset at event
+   starts) — the value at an event's end row IS the event total, so the
+   caller gathers boundaries ONCE (a prefix-sum formulation needed a
+   (T+1,·,C) concat plus hi/lo gathers, and a Kahan-compensated carry to
+   survive 14.6k-step prefixes; per-segment sums are short, so plain
+   f32 is exact enough AND faster),
 2. the 9-carrier segmented associative scan (running max / first-argmax /
    first- and last-finite indices, reset at run starts),
-3. the channel stacking itself (outputs land directly in the (T, NS, C)
-   layout the downstream boundary gathers consume).
+3. the channel stacking itself: everything lands in ONE (T, 25, C) int32
+   output (float channels as bit patterns) so the downstream boundary
+   gather is a single take_along_axis.
 
 The derived columns (relSeas, severity, ...) are recomputed in VMEM from
 the raw series — cheaper than reading them from HBM. The per-cell shift
@@ -17,13 +23,16 @@ XLA (tiny column reductions) and passed as a (4, C) input; the anom_plus/
 anom_minus day shifts are also prepared in XLA because a forward kernel
 cannot see the next block's first row.
 
-Outputs (channel order matches core/features_scan.py exactly):
-  P (T, 17, C) float32 — inclusive prefix sums (caller prepends the zero
-    row)
-  S (T, 8, C) int32 — segmented-scan outputs; channels 0-2 are float32
-    bit patterns (relSeas max, severity max, cats max), 3-7 are indices
-    (first argmax, first/last finite relSeas, first finite anom_plus,
-    last finite anom_minus)
+Output channels (order matches core/features_scan.py exactly):
+  0-16  segmented sums (float32 bit patterns)
+  17-19 relSeas max, severity max, cats max (float32 bit patterns)
+  20-24 first argmax, first/last finite relSeas, first finite anom_plus,
+        last finite anom_minus (int32 indices)
+  25-30 VALUE payloads riding the positional carriers (float32 bit
+        patterns): relSeas at first/last finite, anom_plus at first
+        finite, anom_minus at last finite, relThresh and mabs at the
+        argmax day — so the caller never gathers the (T, C) series at
+        event positions at all; ONE boundary gather serves everything
 """
 
 from __future__ import annotations
@@ -38,8 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 TB = 128
-NP_ = 17  # prefix channels
-NS_ = 8   # segmented channels
+NP_ = 17  # segmented-sum channels
+NS_ = 8   # segmented min/max/argmax channels
+NV_ = 6   # value-payload channels
+NT_ = NP_ + NS_ + NV_  # total output channels
 
 
 def _shift_rows(x, d, neutral):
@@ -50,7 +61,7 @@ def _shift_rows(x, d, neutral):
 
 
 def _kernel(ts_ref, th_ref, se_ref, ap_ref, am_ref, day_ref, isst_ref,
-            shifts_ref, p_ref, s_ref, pcarry, pcomp, fcarry, icarry,
+            shifts_ref, s_ref, pcarry, fcarry, icarry,
             rcarry, *, T):
     j = pl.program_id(1)
     dtf = jnp.float32
@@ -62,8 +73,8 @@ def _kernel(ts_ref, th_ref, se_ref, ap_ref, am_ref, day_ref, isst_ref,
     @pl.when(j == 0)
     def _():
         pcarry[...] = jnp.zeros((NP_, LANES), dtf)
-        pcomp[...] = jnp.zeros((NP_, LANES), dtf)
-        fcarry[...] = jnp.full((3, LANES), neg, dtf)
+        fcarry[0:3, :] = jnp.full((3, LANES), neg, dtf)
+        fcarry[3:9, :] = jnp.full((6, LANES), nan, dtf)
         icarry[0:1, :] = jnp.zeros((1, LANES), jnp.int32)
         icarry[1:2, :] = jnp.full((1, LANES), bigi)
         icarry[2:3, :] = jnp.full((1, LANES), -1)
@@ -109,8 +120,11 @@ def _kernel(ts_ref, th_ref, se_ref, ap_ref, am_ref, day_ref, isst_ref,
 
     # NaN-masked derived columns already imply `day` (cats is NaN on
     # non-event days), so no boolean ANDs are needed — Mosaic mis-lays-out
-    # i1 AND operands with mixed layouts.
-    X = jnp.stack([
+    # i1 AND operands with mixed layouts. All carriers stay 2D
+    # (TB, LANES): Mosaic also rejects i1/maskable 3D reshapes, so the
+    # sums ride the SAME tuple-based segmented scan as the min/max
+    # channels (shared reset channel) instead of a stacked 3D scan.
+    sums = [
         fin_rs.astype(dtf), xs_rs, xs_rs * xs_rs,
         fin_rt.astype(dtf), xs_rt, xs_rt * xs_rt,
         fin_sv.astype(dtf), xs_sv, xs_sv * xs_sv,
@@ -120,58 +134,64 @@ def _kernel(ts_ref, th_ref, se_ref, ap_ref, am_ref, day_ref, isst_ref,
         jnp.where(cats == 3.0, 1.0, 0.0).astype(dtf),
         jnp.where(cats >= 4.0, 1.0, 0.0).astype(dtf),
         fin_ct.astype(dtf),
-    ], axis=1)  # (TB, NP_, LANES)
+    ]
 
-    # ---- prefix sums: Hillis-Steele within block + carry ------------------
-    d = 1
-    while d < TB:
-        X = X + _shift_rows(X, d, 0.0)
-        d *= 2
-    carry = pcarry[...]
-    p_ref[:] = X + carry[None, :, :]
-    # Kahan-compensated carry: accumulating via the (rounded) written
-    # prefix row drifts ~eps*|carry| per block over ~115 blocks; tracking
-    # the carry exactly with a compensation term removes the random walk
-    tot = X[TB - 1]
-    y = tot - pcomp[...]
-    t = carry + y
-    pcomp[...] = (t - carry) - y
-    pcarry[...] = t
-
-    # ---- segmented scan (reset at run starts) ------------------------------
+    # ---- ONE segmented scan: sums + max/argmax + first/last finite +
+    #      value payloads ----------------------------------------------------
     def comb(a, b):
         # the reset channel rides as int32 (Mosaic cannot concatenate or
         # bitcast i1 vector registers)
-        av, ai, asv, act, aff, alf, afa, ala, ar = a
-        bv, bi, bsv, bct, bff, blf, bfa, bla, br = b
+        ar, br = a[-1], b[-1]
         brb = br != 0
+        out_sums = tuple(jnp.where(brb, bv, av + bv)
+                         for av, bv in zip(a[:NP_], b[:NP_]))
+        (av, ai, aprt, apma, asv, act, aff, avff, alf, avlf, afa, avfa,
+         ala, avla) = a[NP_:NP_ + 14]
+        (bv, bi, bprt, bpma, bsv, bct, bff, bvff, blf, bvlf, bfa, bvfa,
+         bla, bvla) = b[NP_:NP_ + 14]
         tb = brb | (bv > av)
-        return (
+        # first-finite payload follows the min-index choice; last-finite
+        # follows the max-index choice; at-peak payloads follow tb
+        a_first = aff <= bff
+        a_first2 = afa <= bfa
+        return out_sums + (
             jnp.where(tb, bv, av), jnp.where(tb, bi, ai),
+            jnp.where(tb, bprt, aprt), jnp.where(tb, bpma, apma),
             jnp.where(brb, bsv, jnp.maximum(asv, bsv)),
             jnp.where(brb, bct, jnp.maximum(act, bct)),
             jnp.where(brb, bff, jnp.minimum(aff, bff)),
+            jnp.where(brb, bvff, jnp.where(a_first, avff, bvff)),
             jnp.where(brb, blf, jnp.maximum(alf, blf)),
+            jnp.where(brb, bvlf, jnp.where(blf >= alf, bvlf, avlf)),
             jnp.where(brb, bfa, jnp.minimum(afa, bfa)),
+            jnp.where(brb, bvfa, jnp.where(a_first2, avfa, bvfa)),
             jnp.where(brb, bla, jnp.maximum(ala, bla)),
+            jnp.where(brb, bvla, jnp.where(bla >= ala, bvla, avla)),
             ar | br,
         )
 
     apd = jnp.where(day, anom_plus, nan)
     amd = jnp.where(day, anom_minus, nan)
-    state = (
+    state = tuple(sums) + (
         jnp.where(fin_rs, relSeas, neg),
         idx,
+        relThresh,  # value at running argmax day
+        mabs,       # value at running argmax day
         jnp.where(fin_sv, severity, neg),
         jnp.where(fin_ct, cats, neg),
         jnp.where(fin_rs, idx, bigi),
+        relSeas,    # value at first finite relSeas
         jnp.where(fin_rs, idx, jnp.int32(-1)),
+        relSeas,    # value at last finite relSeas
         jnp.where(jnp.isfinite(apd), idx, bigi),
+        apd,        # value at first finite anom_plus
         jnp.where(jnp.isfinite(amd), idx, jnp.int32(-1)),
+        amd,        # value at last finite anom_minus
         is_start.astype(jnp.int32),
     )
-    neutrals = (neg, jnp.int32(0), neg, neg, bigi, jnp.int32(-1), bigi,
-                jnp.int32(-1), jnp.int32(0))
+    neutrals = (jnp.float32(0.0),) * NP_ + (
+        neg, jnp.int32(0), nan, nan, neg, neg, bigi, nan, jnp.int32(-1),
+        nan, bigi, nan, jnp.int32(-1), nan, jnp.int32(0))
     d = 1
     while d < TB:
         shifted = tuple(_shift_rows(x, d, n)
@@ -179,37 +199,47 @@ def _kernel(ts_ref, th_ref, se_ref, ap_ref, am_ref, day_ref, isst_ref,
         state = comb(shifted, state)
         d *= 2
 
-    carry_tuple = (fcarry[0:1, :], icarry[0:1, :], fcarry[1:2, :],
-                   fcarry[2:3, :], icarry[1:2, :], icarry[2:3, :],
-                   icarry[3:4, :], icarry[4:5, :], rcarry[0:1, :])
-    (mv, mi, msv, mct, mff, mlf, mfa, mla, mr) = comb(carry_tuple, state)
+    carry_tuple = tuple(pcarry[i:i + 1, :] for i in range(NP_)) + (
+        fcarry[0:1, :], icarry[0:1, :], fcarry[3:4, :], fcarry[4:5, :],
+        fcarry[1:2, :], fcarry[2:3, :], icarry[1:2, :], fcarry[5:6, :],
+        icarry[2:3, :], fcarry[6:7, :], icarry[3:4, :], fcarry[7:8, :],
+        icarry[4:5, :], fcarry[8:9, :], rcarry[0:1, :])
+    out = comb(carry_tuple, state)
+    msums = out[:NP_]
+    (mv, mi, mprt, mpma, msv, mct, mff, mvff, mlf, mvlf, mfa, mvfa, mla,
+     mvla, mr) = out[NP_:]
 
-    s_ref[:] = jnp.stack([
-        lax.bitcast_convert_type(mv, jnp.int32),
-        lax.bitcast_convert_type(msv, jnp.int32),
-        lax.bitcast_convert_type(mct, jnp.int32),
-        mi, mff, mlf, mfa, mla,
-    ], axis=1)
+    def bc(x):
+        return lax.bitcast_convert_type(x, jnp.int32)
 
-    fcarry[0:1, :] = mv[TB - 1:TB, :]
-    fcarry[1:2, :] = msv[TB - 1:TB, :]
-    fcarry[2:3, :] = mct[TB - 1:TB, :]
-    icarry[0:1, :] = mi[TB - 1:TB, :]
-    icarry[1:2, :] = mff[TB - 1:TB, :]
-    icarry[2:3, :] = mlf[TB - 1:TB, :]
-    icarry[3:4, :] = mfa[TB - 1:TB, :]
-    icarry[4:5, :] = mla[TB - 1:TB, :]
+    s_ref[:] = jnp.stack(
+        [bc(x) for x in msums]
+        + [bc(mv), bc(msv), bc(mct), mi, mff, mlf, mfa, mla,
+           bc(mvff), bc(mvlf), bc(mvfa), bc(mvla), bc(mprt), bc(mpma)],
+        axis=1)
+
+    for i in range(NP_):
+        pcarry[i:i + 1, :] = msums[i][TB - 1:TB, :]
+    for r, x in ((0, mv), (1, msv), (2, mct), (3, mprt), (4, mpma),
+                 (5, mvff), (6, mvlf), (7, mvfa), (8, mvla)):
+        fcarry[r:r + 1, :] = x[TB - 1:TB, :]
+    for r, x in ((0, mi), (1, mff), (2, mlf), (3, mfa), (4, mla)):
+        icarry[r:r + 1, :] = x[TB - 1:TB, :]
     rcarry[0:1, :] = mr[TB - 1:TB, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_detect_scans(ts, thresh_t, seas_t, anom_plus, anom_minus, day,
                        is_start, shifts, interpret=False):
-    """One-pass prefix + segmented scans. Series inputs (T, C) float32;
-    day/is_start (T, C) bool-like; shifts (4, C) float32 per-cell shift
-    constants (relSeas, relThresh, severity, mabs order). C % 128 == 0.
+    """One-pass segmented sums + segmented min/max scans. Series inputs
+    (T, C) float32; day/is_start (T, C) bool-like; shifts (4, C) float32
+    per-cell shift constants (relSeas, relThresh, severity, mabs order).
+    C % 128 == 0.
 
-    Returns (P (T, 17, C) f32, S (T, 8, C) i32); see module docstring.
+    Returns S (Tp, 25, C) int32 where Tp >= T is T padded to a TB
+    multiple — callers gather at row positions < T, so the pad rows are
+    never read and slicing them off here would only force XLA to copy
+    the multi-GB buffer. See module docstring for channels.
     """
     T, C = ts.shape
     assert C % LANES == 0
@@ -234,26 +264,19 @@ def fused_detect_scans(ts, thresh_t, seas_t, anom_plus, anom_minus, day,
     kernel = functools.partial(_kernel, T=T)
     tmap2 = lambda i, j: (j, i)
     tmap3 = lambda i, j: (j, 0, i)
-    P, S = pl.pallas_call(
+    S = pl.pallas_call(
         kernel,
         grid=(C // LANES, nb),
         in_specs=[pl.BlockSpec((TB, LANES), tmap2)] * 7
         + [pl.BlockSpec((4, LANES), lambda i, j: (0, i))],
-        out_specs=[
-            pl.BlockSpec((TB, NP_, LANES), tmap3),
-            pl.BlockSpec((TB, NS_, LANES), tmap3),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Tp, NP_, C), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, NS_, C), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((TB, NT_, LANES), tmap3),
+        out_shape=jax.ShapeDtypeStruct((Tp, NT_, C), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((NP_, LANES), jnp.float32),
-            pltpu.VMEM((NP_, LANES), jnp.float32),
-            pltpu.VMEM((3, LANES), jnp.float32),
+            pltpu.VMEM((9, LANES), jnp.float32),
             pltpu.VMEM((5, LANES), jnp.int32),
             pltpu.VMEM((1, LANES), jnp.int32),
         ],
         interpret=interpret,
     )(*args)
-    return P[:T], S[:T]
+    return S
