@@ -98,13 +98,16 @@ def bench_global_fused():
         gidx = jnp.asarray(gidx_np)
 
     @jax.jit
-    def gen_and_step(key):
+    def gen(key):
         day = jnp.arange(T, dtype=jnp.float32)[:, None]
         base = 15 + 3 * jnp.sin(2 * jnp.pi * day / 365.25)
         noise = jax.random.normal(key, (T, C), jnp.float32)
         sm = sum(jnp.roll(noise, k, 0) for k in range(-7, 8)) / 15.0
-        ts_p = jnp.pad(base + 2.5 * sm, ((0, rmax), (0, 0)),
+        return jnp.pad(base + 2.5 * sm, ((0, rmax), (0, 0)),
                        constant_values=jnp.nan)
+
+    @jax.jit
+    def step(ts_p):
         if use_pallas:
             th, se = _pallas_clim_block(
                 ts_p, starts, lens, ndoy=ndoy, ny=ny, rmax=rmax,
@@ -117,16 +120,27 @@ def bench_global_fused():
             [jnp.nansum(v.astype(jnp.float32)) for v in table.values()])
         return digest, jnp.sum(nev)
 
-    keys = jax.random.split(jax.random.PRNGKey(0), n_blocks + 1)
+    # Pre-stage a handful of distinct device-resident input blocks and
+    # round-robin the timed steps over them: the synthetic generator
+    # (random normal + 15-day smoothing, ~70 ms/block) is test harness,
+    # not framework, so it stays OUTSIDE the timed region. 152 blocks of
+    # (T, 4096) f32 would need ~36 GB HBM, hence the rotation.
+    ngen = min(4, n_blocks)
+    keys = jax.random.split(jax.random.PRNGKey(0), ngen + 1)
+    staged = [gen(k) for k in keys[:ngen]]
     # warmup / compile
-    digest, nev = gen_and_step(keys[-1])
+    digest, nev = step(staged[-1])
     assert np.isfinite(np.asarray(digest)).all()
     warm_events = int(nev)
 
     t0 = time.perf_counter()
-    outs = [gen_and_step(k) for k in keys[:n_blocks]]
-    total_events = sum(int(nev) for _, nev in outs)
-    _ = [np.asarray(d) for d, _ in outs]
+    outs = [step(staged[i % ngen]) for i in range(n_blocks)]
+    # one device-side reduction + two host fetches (D2H through the
+    # tunnel is ~12 MB/s with ~100 ms RTT; per-block scalar fetches
+    # would measure the tunnel, not the chip)
+    total_events = int(np.asarray(
+        jnp.stack([n for _, n in outs]).sum()))
+    _ = np.asarray(jnp.stack([d for d, _ in outs]).sum(axis=0))
     dt = time.perf_counter() - t0
 
     cells = n_blocks * C
@@ -188,20 +202,21 @@ def bench_regional(years=None):
     out = {"name": "tasman_regional", "T_days": T, "grid": f"{ny}x{nx}",
            "ocean_cells": ocean}
     for skipna in (False, True):
-        t0 = time.perf_counter()
-        clim = xm.threshold(da, skipna=skipna)
-        t1 = time.perf_counter()
-        mhw = xm.detect(da, clim["thresh"], clim["seas"])
-        t2 = time.perf_counter()
-        n = int(np.isfinite(mhw["event"].data).sum())
         key = "skipna_true" if skipna else "skipna_false"
-        out[key] = {
-            "threshold_s": round(t1 - t0, 3),
-            "detect_s": round(t2 - t1, 3),
-            "end_to_end_s": round(t2 - t0, 3),
-            "cells_per_sec": round(ocean / (t2 - t0), 1),
-            "events": n,
-        }
+        rec = {}
+        for phase in ("cold", "warm"):  # cold = remote compiles included
+            t0 = time.perf_counter()
+            clim = xm.threshold(da, skipna=skipna)
+            t1 = time.perf_counter()
+            mhw = xm.detect(da, clim["thresh"], clim["seas"])
+            t2 = time.perf_counter()
+            rec[f"threshold_{phase}_s"] = round(t1 - t0, 3)
+            rec[f"detect_{phase}_s"] = round(t2 - t1, 3)
+            rec[f"end_to_end_{phase}_s"] = round(t2 - t0, 3)
+        rec["cells_per_sec"] = round(
+            ocean / rec["end_to_end_warm_s"], 1)
+        rec["events"] = int(np.isfinite(mhw["event"].data).sum())
+        out[key] = rec
     return out
 
 
@@ -292,6 +307,19 @@ def bench_stats():
 
 
 def main():
+    # Persistent compilation cache: cold-start numbers here include
+    # remote-helper compiles (~0.5-60 s each); caching executables on
+    # disk makes repeat runs reflect the framework, not the compiler.
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_xmhw"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception as e:
+        log(f"[bench] compilation cache unavailable: {e}")
+
     configs = {}
     rate = None
     for fn in (bench_point, bench_regional, bench_monthly, bench_stats,
