@@ -117,3 +117,32 @@ def test_fused_detect_scans_kernel():
             np.nan_to_num(np.asarray(ia[k], np.float64), nan=-9e9),
             np.nan_to_num(np.asarray(ib[k], np.float64), nan=-9e9),
             err_msg=k)
+
+
+def test_pallas_rle_filter_matches_xla():
+    """Streaming-RLE mhw_filter (interpret) == XLA cummax/cummin path,
+    bit-for-bit, across random masks, quirk mode, and join settings."""
+    import jax.numpy as jnp
+
+    from xmhw_tpu.core.events import mhw_filter as xla_filter
+    from xmhw_tpu.ops.pallas.rle import pallas_mhw_filter
+
+    rng = np.random.default_rng(11)
+    for trial, (T, md, jg, mg, qk) in enumerate([
+            (700, 5, True, 2, False),
+            (700, 5, True, 2, True),
+            (513, 3, True, 4, False),
+            (1030, 5, False, 2, False),
+            (64, 2, True, 1, False)]):
+        b = rng.random((T, 128)) < 0.45
+        b[0] = trial % 2 == 0
+        b[-1] = True
+        a = xla_filter(jnp.asarray(b), min_duration=md, join_gaps=jg,
+                       max_gap=mg, day0_fillna_quirk=qk)
+        p = pallas_mhw_filter(jnp.asarray(b), min_duration=md,
+                              join_gaps=jg, max_gap=mg,
+                              day0_fillna_quirk=qk, interpret=True)
+        for k in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(p[k]),
+                err_msg=f"{k} trial={trial}")

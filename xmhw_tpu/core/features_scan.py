@@ -64,8 +64,19 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     thresh_t = th[doy_pos]
     seas_t = se[doy_pos]
     bthresh = ts > thresh_t
-    f = mhw_filter(bthresh, min_duration=min_duration, join_gaps=join_gaps,
-                   max_gap=max_gap, day0_fillna_quirk=day0_fillna_quirk)
+    if use_pallas_scan:
+        # streaming-RLE event identification (6 linear passes vs XLA's
+        # log-depth cummax/cummin lowering; bit-equal, tests assert it)
+        from ..ops.pallas.rle import pallas_mhw_filter
+
+        f = pallas_mhw_filter(
+            bthresh, min_duration=min_duration, join_gaps=join_gaps,
+            max_gap=max_gap, day0_fillna_quirk=day0_fillna_quirk,
+            interpret=pallas_interpret)
+    else:
+        f = mhw_filter(bthresh, min_duration=min_duration,
+                       join_gaps=join_gaps, max_gap=max_gap,
+                       day0_fillna_quirk=day0_fillna_quirk)
     day = f["event_day"]
     is_start = f["is_start"]
     # raw per-cell count (may exceed K — callers detect table overflow
