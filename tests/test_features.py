@@ -116,3 +116,74 @@ def test_flip_cold():
     np.testing.assert_array_equal(ds2["intensity_var_dummy"].data,
                                   [1.0, 2.0, np.nan])
     np.testing.assert_array_equal(ds2["dummy"].data, [1.0, 2.0, np.nan])
+
+
+def test_run_detect_optimistic_k_overflow_retry():
+    """run_detect fixes K from the FIRST block's counting pass and
+    retries optimistically when a later block overflows the table. Force
+    that: block 1 has a single long event per cell, block 2 has ~60
+    short ones — far above the first block's K=32 — and require equality
+    with a single-block run (which sizes K from a global count)."""
+    import numpy as np
+
+    from xmhw_tpu.core.calendar import compute_doy
+    from xmhw_tpu.core.pipeline import run_detect
+    from xmhw_tpu.xrlite import TimeIndex
+
+    T, C = 730, 8
+    t = np.arange("2001-01-01", "2003-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")[:T]
+    doy, _ = compute_doy(TimeIndex(t))
+    doy_pos = (doy - 1).astype(np.int32)
+
+    th = np.full((366, C), 0.5, np.float64)
+    se = np.zeros((366, C), np.float64)
+    ts = np.zeros((T, C), np.float64)
+    ts[100:160, :4] = 1.0                # one long event (first block)
+    for k in range(60):                  # 60 short events (second block)
+        ts[12 * k:12 * k + 6, 4:] = 1.0
+
+    multi = run_detect(ts, th, se, doy_pos, min_duration=5,
+                       join_gaps=True, max_gap=2, block=4)
+    one = run_detect(ts, th, se, doy_pos, min_duration=5,
+                     join_gaps=True, max_gap=2)
+    np.testing.assert_array_equal(multi[1], one[1])  # n_events
+    assert multi[1][:4].max() == 1 and multi[1][4:].min() >= 55
+    for k in ("event", "duration", "intensity_max"):
+        a, b = multi[0][k], one[0][k]
+        K = min(a.shape[0], b.shape[0])
+        assert np.isfinite(a[K:]).sum() == 0
+        assert np.isfinite(b[K:]).sum() == 0
+        np.testing.assert_array_equal(np.nan_to_num(a[:K]),
+                                      np.nan_to_num(b[:K]), err_msg=k)
+
+
+def test_run_detect_k_cap_still_warns(caplog):
+    """k_cap truncation still warns and caps under the optimistic-K
+    scheme (no silent drops)."""
+    import logging
+
+    import numpy as np
+
+    from xmhw_tpu.core.calendar import compute_doy
+    from xmhw_tpu.core.pipeline import run_detect
+    from xmhw_tpu.xrlite import TimeIndex
+
+    T, C = 730, 4
+    t = np.arange("2001-01-01", "2003-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")[:T]
+    doy, _ = compute_doy(TimeIndex(t))
+    doy_pos = (doy - 1).astype(np.int32)
+    th = np.full((366, C), 0.5, np.float64)
+    se = np.zeros((366, C), np.float64)
+    ts = np.zeros((T, C), np.float64)
+    for k in range(60):
+        ts[12 * k:12 * k + 6, :] = 1.0
+
+    with caplog.at_level(logging.WARNING, logger="xmhw_tpu"):
+        tables, n_events, _ = run_detect(
+            ts, th, se, doy_pos, min_duration=5, join_gaps=True,
+            max_gap=2, k_cap=32)
+    assert n_events.max() == 32           # capped, table-consistent
+    assert tables["event"].shape[0] == 32
+    assert any("truncated" in r.message for r in caplog.records)
