@@ -128,10 +128,13 @@ def bench_global_fused():
     ngen = min(4, n_blocks)
     keys = jax.random.split(jax.random.PRNGKey(0), ngen + 1)
     staged = [gen(k) for k in keys[:ngen]]
-    # warmup / compile
+    # warmup: compile, then a few untimed steps — the first post-compile
+    # executions run up to ~2x slow while the chip ramps clocks
     digest, nev = step(staged[-1])
     assert np.isfinite(np.asarray(digest)).all()
     warm_events = int(nev)
+    ramp = [step(staged[i % ngen]) for i in range(4)]
+    _ = np.asarray(jnp.stack([d for d, _ in ramp]).sum(axis=0))
 
     t0 = time.perf_counter()
     outs = [step(staged[i % ngen]) for i in range(n_blocks)]
@@ -204,7 +207,9 @@ def bench_regional(years=None):
     for skipna in (False, True):
         key = "skipna_true" if skipna else "skipna_false"
         rec = {}
+        clim = mhw = None
         for phase in ("cold", "warm"):  # cold = remote compiles included
+            del clim, mhw  # return the grids to the allocation pool
             t0 = time.perf_counter()
             clim = xm.threshold(da, skipna=skipna)
             t1 = time.perf_counter()

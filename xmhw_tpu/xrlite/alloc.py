@@ -1,61 +1,115 @@
-"""Fast large-array allocation for the host assembly paths.
+"""Large-array allocation for the host assembly paths.
 
-Under this environment's kernel, first-touch page faulting of fresh
-anonymous memory runs at ~20-100 MB/s on a single core — a cold
-``np.full`` of a 4 GB array takes minutes. Prefaulting the mapping in
-one ``madvise(MADV_POPULATE_WRITE)`` syscall runs at ~2 GB/s (measured
-25x faster), so every large output buffer (union event grids, unstacked
-climatologies) goes through :func:`alloc_filled`.
+The union event grids and unstacked climatologies allocate gigabytes per
+detect() call. This host (a Firecracker microVM, 1 vCPU) supplies fresh
+anonymous pages at only ~100-500 MB/s — every first touch exits to the
+VMM — so allocation strategy dominates the host half of the pipeline.
+Measured here (4.5 GB in 31 buffers):
 
-The arrays are ordinary ``np.empty`` allocations (NOT private mmaps):
-freed buffers return to the allocator and repeated pipeline calls reuse
-warm pages at full speed — an earlier mmap-based version munmapped on
-free and repaid the kernel page-supply cost on every detect() call.
+* plain ``np.full``, fresh pages:             ~38 s
+* ``madvise(MADV_POPULATE_WRITE)`` prefault:  slower still (~170 MB/s)
+* ``MADV_HUGEPAGE`` before first touch:       ~18 s (512x fewer faults)
+* re-filling already-resident pages:          ~1.5-2 s
+
+So large buffers come from a process-level POOL of huge-page-advised
+anonymous mmaps: when the numpy array dies, its backing region returns
+to the pool (weakref finalizer) and the next allocation of similar size
+reuses the still-resident pages — repeat pipeline calls run at memset
+speed instead of VMM page-supply speed. Glibc's heap cannot be relied
+on for this (mallopt retention benchmarked inconsistent here), and an
+earlier round's ``MADV_POPULATE_WRITE`` prefault is 3x slower than
+first-touch on this host despite being 25x faster on the previous
+multi-core host — this module is the single place to re-measure.
 """
 
 from __future__ import annotations
 
 import ctypes
+import mmap as _mmap
+import weakref
 
 import numpy as np
 
-# plain numpy below this size — the syscall isn't worth it
+# plain numpy below this size — pooling isn't worth it
 _SMALL = 1 << 22
+# drop regions beyond this much cached memory (resident pages)
+_POOL_CAP = 24 << 30
+# reuse a cached region only if it wastes < 2x the request
+_WASTE = 2
 
-_MADV_POPULATE_WRITE = 23  # linux 5.14+
-_PAGE = 4096
+_MADV_HUGEPAGE = 14
 
 try:
     _libc = ctypes.CDLL("libc.so.6", use_errno=True)
     _libc.madvise.restype = ctypes.c_int
     _libc.madvise.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
                               ctypes.c_int]
-except OSError:  # non-glibc platform: plain numpy fallback
+except OSError:  # non-glibc platform
     _libc = None
 
+_pool: list[tuple[int, _mmap.mmap]] = []  # (size, region) free list
+_pool_bytes = 0
 
-def _prefault(arr: np.ndarray) -> None:
+
+def _advise_hugepage(buf: _mmap.mmap, nbytes: int) -> None:
     if _libc is None:
         return
-    addr = arr.ctypes.data
-    start = addr & ~(_PAGE - 1)
-    length = arr.nbytes + (addr - start)
-    # best-effort: unsupported kernels return EINVAL and first-touch
-    # faulting takes over
-    _libc.madvise(ctypes.c_void_p(start), ctypes.c_size_t(length),
-                  _MADV_POPULATE_WRITE)
+    addr = ctypes.addressof(ctypes.c_char.from_buffer(buf))
+    _libc.madvise(ctypes.c_void_p(addr), ctypes.c_size_t(nbytes),
+                  _MADV_HUGEPAGE)
+
+
+def _take_region(nbytes: int) -> tuple[int, _mmap.mmap]:
+    """Smallest cached region that fits without gross waste, or a new
+    huge-page-advised anonymous mapping."""
+    global _pool_bytes
+    best = -1
+    for i, (sz, _) in enumerate(_pool):
+        if nbytes <= sz <= nbytes * _WASTE and (
+                best < 0 or sz < _pool[best][0]):
+            best = i
+    if best >= 0:
+        ent = _pool.pop(best)
+        _pool_bytes -= ent[0]
+        return ent
+    buf = _mmap.mmap(-1, nbytes)
+    _advise_hugepage(buf, nbytes)
+    return nbytes, buf
+
+
+def _release_region(size: int, buf: _mmap.mmap) -> None:
+    global _pool_bytes
+    _pool.append((size, buf))
+    _pool_bytes += size
+    while _pool_bytes > _POOL_CAP and _pool:
+        sz, old = _pool.pop(0)
+        _pool_bytes -= sz
+        old.close()
+
+
+def pool_stats() -> dict:
+    """Cached-region accounting (observability/tests)."""
+    return {"regions": len(_pool), "bytes": _pool_bytes}
 
 
 def alloc_empty(shape, dtype) -> np.ndarray:
-    """Uninitialized array with its pages prefaulted in one syscall."""
-    out = np.empty(shape, dtype)
-    if out.nbytes >= _SMALL:
-        _prefault(out)
+    """Uninitialized array backed by the warm-page pool when large."""
+    dtype = np.dtype(dtype)
+    nbytes = int(np.prod(shape)) * dtype.itemsize
+    if nbytes < _SMALL:
+        return np.empty(shape, dtype)
+    size, buf = _take_region(nbytes)
+    arr = np.frombuffer(buf, dtype=np.uint8, count=nbytes)
+    out = arr.view(dtype).reshape(shape)
+    # recycle the region (pages still resident) once the ROOT array is
+    # collected — every numpy view holds a .base reference chain down to
+    # `arr`, so the finalizer cannot fire while any view is alive
+    weakref.finalize(arr, _release_region, size, buf)
     return out
 
 
 def alloc_filled(shape, fill, dtype) -> np.ndarray:
-    """``np.full`` replacement: prefaulted pages + warm fill."""
+    """``np.full`` replacement (see module docstring)."""
     out = alloc_empty(shape, dtype)
     out.fill(fill)
     return out
