@@ -325,6 +325,20 @@ def main():
     except Exception as e:
         log(f"[bench] compilation cache unavailable: {e}")
 
+    # acquire the device up front (single-holder TPU lock on this
+    # harness takes up to ~4 min, silently) so the first config's cold
+    # number measures compiles, not acquisition
+    t0 = time.perf_counter()
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        float(jnp.zeros(()).sum())
+        log(f"[bench] device acquired in {time.perf_counter() - t0:.1f}s"
+            f" ({jax.devices()[0].platform})")
+    except Exception as e:
+        log(f"[bench] device acquisition failed: {e}")
+
     configs = {}
     rate = None
     for fn in (bench_point, bench_regional, bench_monthly, bench_stats,
