@@ -232,8 +232,6 @@ def bench_monthly():
 
     years = 3 if FAST else 40
     months = years * 12
-    t = (np.datetime64("1982-01-15") +
-         np.arange(months) * np.timedelta64(0, "D"))
     t = np.array([np.datetime64(f"{1982 + m // 12:04d}-"
                                 f"{m % 12 + 1:02d}-15", "ns")
                   for m in range(months)])

@@ -119,3 +119,83 @@ def test_stream_detect_rejects_bad_gap(grid_file, tmp_path):
     with pytest.raises(XmhwException):
         stream_detect(path, "sst", path, str(tmp_path / "x.nc"),
                       minDuration=3, maxGap=4)
+
+
+def test_stream_detect_union_partial_stripe(grid_file, tmp_path):
+    """ny=12 with stripe=5 leaves a PARTIAL final stripe (2 rows): the
+    union writer must still land values there (a flat reshape of the
+    non-contiguous buffer view silently dropped them — regression)."""
+    path, sst = grid_file
+    clim_out = str(tmp_path / "clim_p.nc")
+    stream_threshold(path, "sst", clim_out, dtype=np.float64)
+    mhw_out = str(tmp_path / "mhw_p.nc")
+    stream_detect(path, "sst", clim_out, mhw_out, dtype=np.float64,
+                  stripe=5, events_layout="union")
+    got = xm.open_dataset(mhw_out)
+    clim = xm.threshold(sst, dtype=np.float64)
+    exp = xm.detect(sst, clim["thresh"], clim["seas"], dtype=np.float64)
+    # the final partial stripe rows (lat index 10-11) must carry events
+    assert np.isfinite(got["event"].data[:, 10:, :]).any()
+    for v in ("event", "duration", "intensity_max", "rate_decline"):
+        np.testing.assert_allclose(got[v].data, exp[v].data,
+                                   atol=1e-9, equal_nan=True)
+
+
+def test_stream_detect_cold_spells_flip(tmp_path):
+    """stream_detect(coldSpells=True) applies the flip_cold sign
+    convention exactly like api.detect (regression: flip was missing).
+    Needs autocorrelated data so multi-day cold runs actually occur."""
+    rng = np.random.default_rng(9)
+    t = np.arange("2000-01-01", "2003-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")
+    T = len(t)
+    ny, nx = 7, 6
+    day = np.arange(T)[:, None, None]
+    noise = rng.normal(0, 1.0, (T + 14, ny, nx))
+    sm = np.stack([noise[k:k + T] for k in range(15)]).mean(0)
+    data = (15 + 3 * np.sin(2 * np.pi * day / 365.25) + 3 * sm)
+    ds = Dataset()
+    ds["sst"] = DataArray(
+        data, ("time", "lat", "lon"),
+        {"time": Coord(("time",), t),
+         "lat": Coord(("lat",), np.arange(ny, dtype=float)),
+         "lon": Coord(("lon",), np.arange(nx, dtype=float))},
+        {"units": "degC"})
+    path = str(tmp_path / "sst_cold.nc")
+    xm.save_dataset(ds, path)
+    sst = ds["sst"]
+    clim_out = str(tmp_path / "clim_c.nc")
+    stream_threshold(path, "sst", clim_out, dtype=np.float64,
+                     coldSpells=True)
+    mhw_out = str(tmp_path / "mhw_c.nc")
+    stream_detect(path, "sst", clim_out, mhw_out, dtype=np.float64,
+                  stripe=5, events_layout="union", coldSpells=True)
+    got = xm.open_dataset(mhw_out)
+    clim = xm.threshold(sst, coldSpells=True, dtype=np.float64)
+    exp = xm.detect(sst, clim["thresh"], clim["seas"], coldSpells=True,
+                    dtype=np.float64)
+    imax = got["intensity_max"].data
+    assert np.nanmax(imax) < 0  # cold-spell intensities are negative
+    for v in ("intensity_max", "intensity_cumulative", "intensity_var",
+              "duration"):
+        np.testing.assert_allclose(got[v].data, exp[v].data,
+                                   atol=1e-9, equal_nan=True)
+
+
+def test_stream_detect_no_events(grid_file, tmp_path):
+    """A grid with ocean cells but zero qualifying events writes a valid
+    empty-events union file instead of crashing on zero-size chunks."""
+    path, sst = grid_file
+    clim_out = str(tmp_path / "clim_hi.nc")
+    # +5 degC threshold: nothing qualifies
+    stream_threshold(path, "sst", clim_out, dtype=np.float64,
+                     pctile=100)
+    import h5py
+
+    with h5py.File(clim_out, "r+") as f:
+        f["thresh"][...] = f["thresh"][...] + 25.0
+    mhw_out = str(tmp_path / "mhw_none.nc")
+    stream_detect(path, "sst", clim_out, mhw_out, dtype=np.float64,
+                  stripe=5, events_layout="union")
+    got = xm.open_dataset(mhw_out)
+    assert got["event"].sizes["events"] == 0

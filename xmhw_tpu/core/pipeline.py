@@ -276,11 +276,16 @@ def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
     def _cap(k):
         return min(k, kcap_eff) if kcap_eff is not None else k
 
-    blocks_out = []  # (lo, w, tables, inter) per block
+    def _fill_of(v):
+        return -1 if np.issubdtype(v.dtype, np.integer) else np.nan
+
+    from ..xrlite.alloc import alloc_empty, alloc_filled
+
     n_events = np.zeros(C, np.int32)
-    kmax_global = 1
     dropped = 0
     K = None
+    tables = None  # host outputs, written block-by-block (no buffering)
+    inter_out = {}
     doy_pos = runner.device_replicated(doy_pos_np)
     for lo in runner.blocks():
         ts = runner.device_block(ts_np, lo)
@@ -308,36 +313,30 @@ def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
             if raw_max <= K or _cap(_round_k(raw_max)) == K:
                 break
             K = _cap(_round_k(raw_max))  # overflow: retry larger
-        kmax_global = max(kmax_global, K)
         nev = np.asarray(nev)
         dropped += int(np.maximum(nev - K, 0).sum())  # only under k_cap
         hi = min(lo + runner.block, C)
         w = hi - lo
         n_events[lo:hi] = np.minimum(nev, K)[:w]
-        blocks_out.append(
-            (lo, w,
-             {k: np.asarray(v)[:, :w] for k, v in tbl.items()},
-             {k: np.asarray(v)[:, :w] for k, v in inter.items()}))
+        if tables is None:
+            tables = {k: alloc_filled((K, C), _fill_of(v), v.dtype)
+                      for k, v in tbl.items()}
+            if intermediate:
+                inter_out = {k: alloc_empty((T, C), v.dtype)
+                             for k, v in inter.items()}
+        elif next(iter(tables.values())).shape[0] < K:
+            # rare overflow growth: keep the written prefix rows
+            for k, old in tables.items():
+                grown = alloc_filled((K, C), _fill_of(old), old.dtype)
+                grown[:old.shape[0]] = old
+                tables[k] = grown
+        for k, v in tbl.items():
+            tables[k][:v.shape[0], lo:hi] = np.asarray(v)[:, :w]
+        for k, v in inter.items():
+            inter_out[k][:, lo:hi] = np.asarray(v)[:, :w]
 
     if dropped:
         logging.getLogger("xmhw_tpu").warning(
             "k_cap=%d truncated the event table: %d event(s) dropped "
             "across the grid", k_cap, dropped)
-
-    K = kmax_global
-    tables = None
-    inter_out = {}
-    for lo, w, tbl, inter in blocks_out:
-        if tables is None:
-            tables = {}
-            for k, v in tbl.items():
-                fill = -1 if np.issubdtype(v.dtype, np.integer) else np.nan
-                tables[k] = np.full((K, C), fill, v.dtype)
-            if intermediate:
-                inter_out = {k: np.empty((T, C), v.dtype)
-                             for k, v in inter.items()}
-        for k, v in tbl.items():
-            tables[k][:v.shape[0], lo:lo + w] = v
-        for k, v in inter.items():
-            inter_out[k][:, lo:lo + w] = v
     return tables, n_events, inter_out

@@ -12,7 +12,7 @@ forward pass over time (VMEM carries across time blocks):
    f32 is exact enough AND faster),
 2. the 9-carrier segmented associative scan (running max / first-argmax /
    first- and last-finite indices, reset at run starts),
-3. the channel stacking itself: everything lands in ONE (T, 25, C) int32
+3. the channel stacking itself: everything lands in ONE (T, 31, C) int32
    output (float channels as bit patterns) so the downstream boundary
    gather is a single take_along_axis.
 
@@ -236,7 +236,7 @@ def fused_detect_scans(ts, thresh_t, seas_t, anom_plus, anom_minus, day,
     per-cell shift constants (relSeas, relThresh, severity, mabs order).
     C % 128 == 0.
 
-    Returns S (Tp, 25, C) int32 where Tp >= T is T padded to a TB
+    Returns S (Tp, 31, C) int32 where Tp >= T is T padded to a TB
     multiple — callers gather at row positions < T, so the pad rows are
     never read and slicing them off here would only force XLA to copy
     the multi-GB buffer. See module docstring for channels.

@@ -161,7 +161,9 @@ class _Writer:
                chunks=None):
         shape = tuple(self.scales[d].shape[0] for d in dims)
         kw = {}
-        if chunks:
+        if chunks and all(s > 0 for s in shape):
+            # h5py rejects chunked layouts with any zero extent (e.g. an
+            # empty events axis); contiguous is fine for empty datasets
             kw["chunks"] = tuple(min(c, s) for c, s in zip(chunks, shape))
         node = self.h.create_dataset(name, shape=shape, dtype=dtype,
                                      fillvalue=fill, **kw)
@@ -240,7 +242,10 @@ def stream_threshold(
                 skipna, smoothPercentile, smoothPercentileWidth, False),
             "source": "xmhw_tpu stream_threshold",
         })
-        units = str(g.attrs.get("units", b"degree_C"))
+        units = g.attrs.get("units", "degree_C")
+        if isinstance(units, bytes):
+            units = units.decode("utf-8", "replace")
+        units = str(units)
         out_vars = {
             "thresh": w.create(
                 "thresh", ("doy", *g.grid_dims), np.dtype(dtype).str,
@@ -310,15 +315,22 @@ def stream_detect(
     seas_var="seas",
     reference_quirks=False,
 ):
-    """detect() streamed file-to-file; host memory O(time x stripe +
-    events x stripe).
+    """detect() streamed file-to-file.
+
+    Host memory: the time-series data is streamed per stripe
+    (O(time x stripe)), but the COMPACT per-stripe event tables of every
+    stripe are retained between the detect pass and the write pass —
+    ~31 x K x ocean_cells values total (the union axis is only known
+    after all stripes are detected). At 620k ocean cells / K=128 that is
+    a few GB of host tables; the grid itself is never resident.
 
     ``events_layout="compact"`` writes (ev, lat, lon, ...) per-cell event
     slots — the planet-scale layout. ``"union"`` writes the reference's
     (events, lat, lon, ...) union layout (output size grows with the
     global number of distinct events; fine at regional scale).
-    Same event semantics as :func:`xmhw_tpu.detect`
-    (reference: xmhw/xmhw.py:310-518); returns the output path.
+    Same event semantics as :func:`xmhw_tpu.detect` including the
+    coldSpells intensity flip (reference: xmhw/xmhw.py:310-518);
+    returns the output path.
     """
     if maxGap >= minDuration:
         raise XmhwException(
@@ -372,6 +384,12 @@ def stream_detect(
                 comp, th, se, doy_pos, min_duration=minDuration,
                 join_gaps=joinGaps, max_gap=maxGap, block=cell_block,
                 mesh=mesh, day0_fillna_quirk=reference_quirks)
+            if coldSpells:
+                # flip_cold (reference: xmhw/features.py:298-315): cold
+                # spells report negated intensities, variances excluded
+                for k in tables:
+                    if "intensity" in k and "_var" not in k:
+                        tables[k] = -tables[k]
             kmax = max(kmax, tables["event"].shape[0])
             if events_layout == "union":
                 lab = tables["event"]
@@ -418,7 +436,7 @@ def stream_detect(
                 attrs.update(units=units, calendar=cal)
             out_vars[name] = w.create(
                 name, (ev_dim, *g.grid_dims), np.dtype(dt).str, attrs,
-                chunks=(min(E, 4096), 1, *g.grid_shape[1:]))
+                chunks=(max(1, min(E, 4096)), 1, *g.grid_shape[1:]))
         buf = alloc_filled((max(E, 1), rows * row_cells), np.nan,
                            np.float64)
         for lo, hi, keep, tables in stripes:
@@ -428,7 +446,6 @@ def stream_detect(
                 fin = np.isfinite(lab)
                 rr = np.searchsorted(union, lab[fin].astype(np.int64))
                 cc = np.broadcast_to(keep, lab.shape)[fin]
-                fidx = rr * c_str + cc
             for name in names:
                 view = buf[:E, :c_str]
                 view.fill(np.nan)
@@ -438,7 +455,11 @@ def stream_detect(
                         tab = _encode_times(tab.astype(np.int64),
                                             time_vals, units, cal)
                     if events_layout == "union":
-                        view.reshape(-1)[fidx] = tab[fin]
+                        # 2-D fancy indexing writes through the view; a
+                        # flat reshape of the non-contiguous view (when
+                        # this is a partial final stripe) would COPY and
+                        # silently drop the writes
+                        view[rr, cc] = tab[fin]
                     else:
                         view[:tab.shape[0], keep] = tab
                 out_vars[name][:, lo:hi] = view.reshape(
