@@ -259,3 +259,67 @@ def test_intermediate_vs_oracle():
             fin = np.isfinite(col) & np.isfinite(th)
             want_bt[fin] = col[fin] > th[fin]
             np.testing.assert_array_equal(bt.astype(bool), want_bt)
+
+
+@pytest.mark.parametrize("seed,pctile,w,smooth,smooth_w", [
+    (11, 80, 5, True, 31),
+    (12, 95, 3, True, 11),
+    (13, 90, 7, False, 31),
+    (14, 99, 2, True, 5),
+])
+def test_threshold_params_vs_oracle(seed, pctile, w, smooth, smooth_w):
+    """Non-default pctile / windowHalfWidth / smoothing vs the oracle —
+    the percentile kernel's rank arithmetic and the circular smoother
+    must hold across the whole parameter surface, not just defaults."""
+    da = _grid(seed, nan_frac=0.01)
+    clim = xm.threshold(da, pctile=pctile, windowHalfWidth=w,
+                        smoothPercentile=smooth,
+                        smoothPercentileWidth=smooth_w, dtype=np.float64)
+    from xmhw_tpu.core.calendar import compute_doy
+    from xmhw_tpu.xrlite import TimeIndex
+
+    doy, ndoy = compute_doy(TimeIndex(np.asarray(
+        da.coords["time"].values)))
+    for la in range(da.sizes["lat"]):
+        for lo in range(da.sizes["lon"]):
+            col = np.asarray(da.data[:, la, lo], np.float64)
+            th_o, se_o = clim_oracle(col, doy, ndoy, w=w, pctile=pctile,
+                                     smooth=smooth, smooth_w=smooth_w)
+            np.testing.assert_allclose(
+                clim["thresh"].sel(lat=float(la), lon=float(lo)).values,
+                th_o, atol=1e-10, equal_nan=True,
+                err_msg=f"thresh pctile={pctile} w={w}")
+            np.testing.assert_allclose(
+                clim["seas"].sel(lat=float(la), lon=float(lo)).values,
+                se_o, atol=1e-10, equal_nan=True)
+
+
+def test_detect_reference_quirks_vs_pandas_artifact():
+    """reference_quirks=True reproduces the reference's day-0 fillna
+    artifact end-to-end through the public API: a qualifying run that
+    starts on day 0 loses its first day; without the quirk it keeps it."""
+    t = np.arange("2001-01-01", "2002-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")
+    T = len(t)
+    data = np.full((T, 1, 1), 10.0)
+    data[:8, 0, 0] = 20.0    # 8-day exceedance run from day 0
+    data[100:107, 0, 0] = 20.0
+    da = DataArray(
+        data, ("time", "lat", "lon"),
+        {"time": Coord(("time",), t),
+         "lat": Coord(("lat",), np.array([0.0])),
+         "lon": Coord(("lon",), np.array([0.0]))})
+    th = DataArray(np.full((366, 1, 1), 15.0), ("doy", "lat", "lon"),
+                   {"doy": Coord(("doy",), np.arange(1, 367)),
+                    "lat": Coord(("lat",), np.array([0.0])),
+                    "lon": Coord(("lon",), np.array([0.0]))})
+    se = th.copy(data=np.full((366, 1, 1), 10.0))
+    plain = xm.detect(da, th, se, dtype=np.float64)
+    quirk = xm.detect(da, th, se, dtype=np.float64,
+                      reference_quirks=True)
+    d_plain = np.sort(plain["duration"].data[np.isfinite(
+        plain["duration"].data)])
+    d_quirk = np.sort(quirk["duration"].data[np.isfinite(
+        quirk["duration"].data)])
+    np.testing.assert_array_equal(d_plain, [7.0, 8.0])
+    np.testing.assert_array_equal(d_quirk, [7.0, 7.0])  # day 0 dropped
