@@ -106,18 +106,51 @@ def bench_global_fused():
         return jnp.pad(base + 2.5 * sm, ((0, rmax), (0, 0)),
                        constant_values=jnp.nan)
 
-    @jax.jit
-    def step(ts_p):
+    def _core(ts_p):
         if use_pallas:
             th, se = _pallas_clim_block(
                 ts_p, starts, lens, ndoy=ndoy, ny=ny, rmax=rmax,
                 pctile=90, smooth=True, smooth_w=31, patch_feb29=True)
         else:
             th, se = clim_kernel(ts_p[:T], gidx)
-        table, nev, _ = detect_kernel(ts_p[:T], th, se, doy_pos, K=K,
-                                      use_pallas_scan=use_pallas)
+        return detect_kernel(ts_p[:T], th, se, doy_pos, K=K,
+                             use_pallas_scan=use_pallas)
+
+    @jax.jit
+    def step(ts_p):
+        table, nev, _ = _core(ts_p)
         digest = jnp.stack(
             [jnp.nansum(v.astype(jnp.float32)) for v in table.values()])
+        return digest, jnp.sum(nev)
+
+    # BASELINE config 5 at global scale: the full device-resident stats
+    # pipeline chained on the fused step — year-block aggregations
+    # (block_average device kernel) + ordinal ranks/return periods for
+    # every ranked property, nothing leaving the chip but a digest
+    from xmhw_tpu.core.stats import (EVENT_VARS, binned_event_stats,
+                                     rank_events_desc)
+
+    year_of = jnp.asarray(
+        (t.astype("datetime64[Y]").astype(np.int64)
+         - t[0].astype("datetime64[Y]").astype(np.int64)).astype(np.int32))
+    n_years = int(np.asarray(year_of).max()) + 1
+
+    @jax.jit
+    def step_stats(ts_p):
+        table, nev, _ = _core(ts_p)
+        tstart = table["time_start"]
+        valid = tstart >= 0
+        bins = year_of[jnp.clip(tstart, 0, T - 1)]
+        vals = jnp.stack([table[k].astype(jnp.float32)
+                          for k in EVENT_VARS])
+        blk = binned_event_stats(vals, bins, valid, nbins=n_years)
+        ranks = {k: rank_events_desc(table[k].astype(jnp.float32), valid)
+                 for k in ("intensity_max", "duration",
+                           "intensity_cumulative", "severity_mean",
+                           "rate_onset")}
+        digest = (jnp.stack([jnp.nansum(v) for v in blk.values()]).sum()
+                  + jnp.stack([jnp.nansum((n_years + 1.0) / r)
+                               for r in ranks.values()]).sum())
         return digest, jnp.sum(nev)
 
     # Pre-stage a handful of distinct device-resident input blocks and
@@ -146,6 +179,14 @@ def bench_global_fused():
     _ = np.asarray(jnp.stack([d for d, _ in outs]).sum(axis=0))
     dt = time.perf_counter() - t0
 
+    # stats pipeline at global scale (device-resident end to end)
+    ds0, _ = step_stats(staged[-1])
+    assert np.isfinite(float(np.asarray(ds0)))
+    t1 = time.perf_counter()
+    souts = [step_stats(staged[i % ngen]) for i in range(n_blocks)]
+    _ = np.asarray(jnp.stack([d for d, _ in souts]).sum())
+    dstats = time.perf_counter() - t1
+
     cells = n_blocks * C
     rate = cells / dt
     return {
@@ -158,6 +199,8 @@ def bench_global_fused():
         "warmup_events": warm_events,
         "global_oisst_1chip_s": round(GLOBAL_CELLS / rate, 1),
         "global_oisst_8chip_s": round(GLOBAL_CELLS / (rate * 8), 1),
+        "with_stats_rank_wall_s": round(dstats, 3),
+        "with_stats_rank_cells_per_sec": round(cells / dstats, 1),
     }, rate
 
 

@@ -416,3 +416,42 @@ def test_check_coordinates_point_and_renamed_time(oisst_ts):
     da = DataArray(pt.data, ("T",), {"T": Coord(("T",), t)})
     tdim, stack = check_coordinates(Dataset({"ts": da}))
     assert tdim == "T"
+
+
+def test_rank_events_desc_matches_host():
+    """Device ordinal rank == host rank_variable (ties, NaNs, all-NaN
+    columns)."""
+    import jax.numpy as jnp
+
+    from xmhw_tpu.core.stats import rank_events_desc
+    from xmhw_tpu.stats_api import rank_variable
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(17, 9))
+    v[rng.random((17, 9)) < 0.2] = np.nan
+    v[3] = v[5]          # force cross-row ties
+    v[:, 4] = np.nan     # all-NaN column
+    got = np.asarray(rank_events_desc(jnp.asarray(v),
+                                      jnp.ones((17, 9), bool)))
+    want = rank_variable(v, axis=0)
+    np.testing.assert_allclose(got, want, equal_nan=True)
+    # valid mask excludes rows
+    valid = np.ones((17, 9), bool)
+    valid[10:] = False
+    got2 = np.asarray(rank_events_desc(jnp.asarray(v),
+                                       jnp.asarray(valid)))
+    want2 = rank_variable(np.where(valid, v, np.nan), axis=0)
+    np.testing.assert_allclose(got2, want2, equal_nan=True)
+
+
+def test_mhw_rank_device_matches_host(oisst_ts):
+    clim = xm.threshold(oisst_ts, dtype=np.float64)
+    mhw = xm.detect(oisst_ts, clim["thresh"], clim["seas"],
+                    dtype=np.float64)
+    rh, ph = xm.mhw_rank(mhw)
+    rd, pd_ = xm.mhw_rank(mhw, device=True)
+    for k in rh.keys():
+        np.testing.assert_allclose(rd[k].data, rh[k].data,
+                                   equal_nan=True, err_msg=k)
+        np.testing.assert_allclose(pd_[k].data, ph[k].data,
+                                   equal_nan=True, err_msg=k)

@@ -72,3 +72,31 @@ def binned_event_stats(values, bin_idx, valid, nbins):
             m = jnp.max(jnp.where(fin, v[None], -jnp.inf), axis=1)
             out[name] = jnp.where(cnt > 0, m, nan)
     return out
+
+
+@jax.jit
+def rank_events_desc(v, valid):
+    """Ordinal descending rank over the event axis, on device.
+
+    v: (K, C) float; valid: (K, C) bool. Returns (K, C) float ranks
+    (1 = largest; NaN where invalid/non-finite), replicating
+    stats_api.rank_variable's double-argsort tie semantics exactly
+    (reference: xmhw/stats.py:493-510): among equal values the EARLIER
+    slot receives the larger rank. Computed as a broadcast
+    compare-count — K is small (event capacity), so the (K, K, C)
+    comparison is cheap and avoids device sorts.
+    """
+    from jax import lax
+
+    K, C = v.shape
+    ok = valid & jnp.isfinite(v)
+    a = jnp.where(ok, v, jnp.inf)
+    aj = a[:, None, :]   # candidate predecessors j
+    ak = a[None, :, :]   # ranked entries k
+    jlt = (lax.broadcasted_iota(jnp.int32, (K, K, C), 0)
+           < lax.broadcasted_iota(jnp.int32, (K, K, C), 1))
+    before = ok[:, None, :] & ((aj < ak) | ((aj == ak) & jlt))
+    pos = jnp.sum(before.astype(jnp.int32), axis=0)
+    m = jnp.sum(ok.astype(jnp.int32), axis=0)
+    return jnp.where(ok, (m[None, :] - pos).astype(v.dtype),
+                     jnp.asarray(jnp.nan, v.dtype))

@@ -404,12 +404,14 @@ def rank_variable(values, axis=0):
     return np.moveaxis(out.reshape(values.shape), 0, axis)
 
 
-def mhw_rank(mhwds, nYears=None):
+def mhw_rank(mhwds, nYears=None, device=False, cell_block=65536):
     """Rank each MHW property (1 = largest) and derive return periods.
 
     Reference: stats.py:446-490. ``nYears`` defaults to the record length
     derived from time_start/time_end instead of the reference's hard-coded
-    constant.
+    constant. ``device=True`` runs the ranking as a jit kernel over cell
+    blocks (core/stats.py:rank_events_desc — exact same tie semantics),
+    the planet-scale path.
     """
     if nYears is None:
         try:
@@ -438,7 +440,28 @@ def mhw_rank(mhwds, nYears=None):
         if ev_dim is None:
             continue
         ax = da.dims.index(ev_dim)
-        r = rank_variable(da.data, axis=ax)
+        if device:
+            r = _rank_device(da.data, ax, cell_block)
+        else:
+            r = rank_variable(da.data, axis=ax)
         rank[var] = da.copy(data=r)
         return_period[var] = da.copy(data=(nYears + 1) / r)
     return rank, return_period
+
+
+def _rank_device(data, axis, cell_block):
+    """Device ordinal descending rank over ``axis``, cell-blocked."""
+    import jax.numpy as jnp
+
+    from .core.stats import rank_events_desc
+
+    v = np.moveaxis(np.asarray(data, np.float64), axis, 0)
+    K = v.shape[0]
+    flat = v.reshape(K, -1)
+    out = np.empty_like(flat)
+    for lo in range(0, flat.shape[1], cell_block):
+        hi = min(lo + cell_block, flat.shape[1])
+        blk = jnp.asarray(flat[:, lo:hi])
+        out[:, lo:hi] = np.asarray(
+            rank_events_desc(blk, jnp.ones(blk.shape, bool)))
+    return np.moveaxis(out.reshape(v.shape), 0, axis)
