@@ -119,3 +119,64 @@ def test_monthly_tstep_end_to_end(oisst_ts):
     d = mhw["duration"].data
     if np.isfinite(d).any():
         assert np.nanmin(d) >= 2
+
+
+def test_noleap_calendar_end_to_end(tmp_path):
+    """Synthetic (noleap) calendar through the whole pipeline:
+    climatologyPeriod date-string selection, detect, block_average and
+    mhw_rank year derivation — all from raw CF offsets (regressions:
+    string sel silently selected nothing; offsets were read as years)."""
+    import xmhw_tpu as xm
+    from xmhw_tpu.xrlite import Coord, DataArray, TimeIndex
+
+    ny = 6
+    T = 365 * ny
+    rng = np.random.default_rng(7)
+    offsets = np.arange(T, dtype=np.float64) + 0.5
+    ti = TimeIndex(offsets, calendar="noleap",
+                   units="days since 2000-01-01")
+    day = np.arange(T)[:, None]
+    noise = rng.normal(0, 1, (T + 14, 4))
+    sm = np.stack([noise[k:k + T] for k in range(15)]).mean(0)
+    data = 15 + 3 * np.sin(2 * np.pi * day / 365.0) + 3 * sm
+    da = DataArray(data, ("time", "cellx"),
+                   {"time": Coord(("time",), ti),
+                    "cellx": Coord(("cellx",), np.arange(4.0))})
+
+    clim_sub = xm.threshold(da, climatologyPeriod=[2001, 2004],
+                            dtype=np.float64)
+    assert "2001-2004" in clim_sub.attrs["xmhw_parameters"]
+    clim = xm.threshold(da, dtype=np.float64)
+    # the sub-period selection must actually subset (regression: the
+    # string slice on raw offsets selected nothing / everything)
+    assert not np.allclose(np.nan_to_num(clim_sub["thresh"].data),
+                           np.nan_to_num(clim["thresh"].data))
+
+    mhw = xm.detect(da, clim["thresh"], clim["seas"], dtype=np.float64)
+    assert np.isfinite(mhw["event"].data).sum() > 0
+    assert mhw["time_start"].attrs.get("calendar") == "noleap"
+
+    blk = xm.block_average(mhw, period=[2000, 2005])
+    # events must land in bins (regression: offsets-as-years emptied all)
+    assert np.nansum(blk["ecount"].data) == np.isfinite(
+        mhw["event"].data).sum()
+    rank, ret = xm.mhw_rank(mhw)
+    # nYears derived from the record -> return periods within (0, ny+1]
+    rp = ret["intensity_max"].data
+    assert np.nanmax(rp) <= ny + 1 + 1e-9
+
+
+def test_stack_cell_coordinate_less_dim():
+    """land_check / stacking on dims without coordinate variables
+    (regression: KeyError)."""
+    import xmhw_tpu as xm
+    from xmhw_tpu.xrlite import Coord, DataArray
+
+    t = np.arange("2001-01-01", "2003-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")
+    data = 15 + np.random.default_rng(0).normal(0, 1, (len(t), 3))
+    da = DataArray(data, ("time", "x"), {"time": Coord(("time",), t)})
+    out = xm.land_check(da)
+    assert out.shape == (len(t), 3)
+    clim = xm.threshold(da, dtype=np.float64)
+    assert clim["thresh"].sizes["doy"] == 366

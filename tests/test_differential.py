@@ -132,7 +132,8 @@ def test_block_average_vs_oracle(oisst_ts):
                     v = mhw[var].sel(lat=la, lon=lo).values[sel]
                     v = v[np.isfinite(v)]
                     if len(v) == 0:
-                        return np.nan
+                        # pandas groupby: empty sum -> 0.0, others NaN
+                        return 0.0 if how == "sum" else np.nan
                     return {"mean": np.mean, "max": np.max,
                             "sum": np.sum}[how](v)
 

@@ -455,3 +455,33 @@ def test_mhw_rank_device_matches_host(oisst_ts):
                                    equal_nan=True, err_msg=k)
         np.testing.assert_allclose(pd_[k].data, ph[k].data,
                                    equal_nan=True, err_msg=k)
+
+
+def test_block_average_unidentifiable_ts_falls_back(oisst_ts):
+    """A dstime whose temperature variable cannot be identified degrades
+    to event-only statistics instead of a bare KeyError (regression)."""
+    from xmhw_tpu.xrlite import Dataset
+
+    clim = xm.threshold(oisst_ts, dtype=np.float64)
+    mhw = xm.detect(oisst_ts, clim["thresh"], clim["seas"],
+                    dtype=np.float64)
+    weird = Dataset()
+    weird["sst"] = oisst_ts
+    weird["foo"] = oisst_ts
+    blk = xm.block_average(mhw, dstime=weird, period=[2003, 2004])
+    assert "ecount" in blk
+    assert "ts_mean" not in blk
+
+
+def test_total_icum_empty_block_is_zero(oisst_ts):
+    """pandas groupby sum of an empty group is 0.0 — total_icum parity
+    (host and device paths)."""
+    clim = xm.threshold(oisst_ts, dtype=np.float64)
+    mhw = xm.detect(oisst_ts, clim["thresh"], clim["seas"],
+                    dtype=np.float64)
+    # bins beyond the record: every block empty
+    blk = xm.block_average(mhw, period=[2010, 2012])
+    assert np.all(blk["total_icum"].data == 0.0)
+    assert np.all(np.isnan(blk["intensity_mean"].data))
+    blkd = xm.block_average(mhw, period=[2010, 2012], device=True)
+    assert np.all(blkd["total_icum"].data == 0.0)

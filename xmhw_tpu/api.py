@@ -333,6 +333,17 @@ def detect(
     mhw = annotate_ds(mhw, ds_attrs, "mhw")
     mhw.attrs["xmhw_parameters"] = detect_params_attr(
         minDuration, joinGaps, maxGap, coldSpells, maxPadLength, anynans)
+    if not np.issubdtype(np.asarray(time_vals).dtype, np.datetime64):
+        # synthetic calendars store raw CF offsets in time_* — carry the
+        # units/calendar so block_average/mhw_rank can derive years
+        units = (getattr(tindex, "encoding", {}) or {}).get(
+            "units") or getattr(tindex, "units", None)
+        cal = getattr(tindex, "calendar", "standard")
+        if units:
+            for v in _TIME_LIKE:
+                if v in mhw:
+                    mhw[v].attrs.update(units=str(units),
+                                        calendar=str(cal))
     if intermediate:
         mhw_inter = _assemble_inter(inter, time_vals, point, ts, tdim)
         return mhw, mhw_inter
@@ -431,20 +442,17 @@ def _assemble_events_compact(tables, n_events, time_vals, point, ts, tdim,
     planet-scale stats pipelines.
     """
     kmax = max(int(n_events.max()), 1) if n_events.size else 1
-    time_like = {"time_start", "time_end", "time_peak"}
     ev_coord = Coord(("ev",), np.arange(kmax),
                      {"long_name": "per-cell MHW event slot"})
     per_var = {}
     for name, tab in tables.items():
         tab = tab[:kmax]
-        if name in time_like:
-            idx = tab.astype(np.int64)
-            v = time_vals[np.clip(idx, 0, len(time_vals) - 1)]
-            if np.issubdtype(np.asarray(time_vals).dtype, np.datetime64):
-                v = np.where(idx >= 0, v, np.datetime64("NaT"))
-            else:
-                v = np.where(idx >= 0, v, np.nan)
-            per_var[name] = v
+        if name in _TIME_LIKE:
+            # same time-index decode as the union layout
+            per_var[name], _, _ = _union_values(
+                name, tab, np.ones(tab.shape, bool), time_vals,
+                _TIME_LIKE)
+            per_var[name] = per_var[name].reshape(tab.shape)
         else:
             per_var[name] = tab
     ds = Dataset()

@@ -65,7 +65,8 @@ def binned_event_stats(values, bin_idx, valid, nbins):
             continue
         s = jnp.sum(jnp.where(fin, v[None], 0), axis=1)
         if how == "sum":
-            out[name] = jnp.where(cnt > 0, s, nan)
+            # pandas sum of an empty group is 0.0 (reference total_icum)
+            out[name] = s
         elif how == "mean":
             out[name] = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), nan)
         else:  # max

@@ -57,12 +57,33 @@ _AGG_MHW = [
 ]
 
 
-def _years_of(values):
-    vals = values.values if isinstance(values, TimeIndex) else values
-    vals = np.asarray(vals)
+def _years_of(values, attrs=None):
+    """Calendar year per entry + validity mask.
+
+    Handles datetime64 values, synthetic-calendar TimeIndexes, and raw
+    CF offsets whose ``attrs`` carry units/calendar (detect() attaches
+    them to the time_* variables for non-datetime calendars). Plain
+    numeric values without CF metadata are taken as years directly
+    (tstep inputs where the caller supplies year numbers)."""
+    if isinstance(values, TimeIndex):
+        vals = np.asarray(values.values)
+        if np.issubdtype(vals.dtype, np.datetime64):
+            return (TimeIndex(vals.reshape(-1)).year.reshape(vals.shape),
+                    ~np.isnat(vals))
+        yr = np.asarray(values.year)
+        return yr.reshape(vals.shape), np.isfinite(
+            np.asarray(vals, np.float64))
+    vals = np.asarray(values)
     if np.issubdtype(vals.dtype, np.datetime64):
         return TimeIndex(vals.reshape(-1)).year.reshape(vals.shape), \
             ~np.isnat(vals)
+    units = (attrs or {}).get("units")
+    if units is not None and "since" in str(units):
+        cal = str((attrs or {}).get("calendar", "standard"))
+        valid = np.isfinite(np.asarray(vals, np.float64))
+        safe = np.where(valid, vals, 0.0).astype(np.float64)
+        ti = TimeIndex(safe.reshape(-1), calendar=cal, units=str(units))
+        return np.asarray(ti.year).reshape(vals.shape), valid
     return vals.astype(np.int64), np.isfinite(vals)
 
 
@@ -81,16 +102,14 @@ def _binned_reduce(values, bin_idx, valid, nbins, how):
                         minlength=nbins * C).reshape(nbins, C)
         n = np.bincount(flat[fin], minlength=nbins * C).reshape(nbins, C)
         if how == "sum":
-            return np.where(n > 0, s, np.nan)
+            # pandas groupby sum of an EMPTY group is 0.0, not NaN
+            # (reference total_icum, stats.py:358-359) — match it
+            return s
         return np.where(n > 0, s / np.maximum(n, 1), np.nan)
     if how in ("max", "min"):
         out = np.full((nbins, C), np.nan)
-        op = np.maximum if how == "max" else np.minimum
-        sel = fin
-        np_op = getattr(np, "fmax" if how == "max" else "fmin")
-        np_ufunc_at = np_op.at
-        np_ufunc_at(out, (bin_idx[sel], cols[sel]), values[sel])
-        del op
+        np_op = np.fmax if how == "max" else np.fmin
+        np_op.at(out, (bin_idx[fin], cols[fin]), values[fin])
         return out
     raise ValueError(how)
 
@@ -209,10 +228,15 @@ def block_average(
     sw_cats = False
     if dstime is not None:
         dstime, sw_cats, sw_temp = check_variables(dstime)
-        tdim, _stack = check_coordinates(dstime)
-        tvals = dstime["ts"].coords[tdim].values
-        tyears, _ = _years_of(tvals)
-        period = [int(tyears[0]), int(tyears[-1])]
+        if "ts" not in dstime:
+            # no usable temperature variable (check_variables warned):
+            # fall back to event-only statistics like the reference
+            dstime, sw_temp, sw_cats = None, False, False
+        else:
+            tdim, _stack = check_coordinates(dstime)
+            tvals = dstime["ts"].coords[tdim].values
+            tyears, _ = _years_of(tvals)
+            period = [int(tyears[0]), int(tyears[-1])]
 
     if removeMissing and not sw_temp:
         raise XmhwException(
@@ -231,7 +255,7 @@ def block_average(
 
     # ---- event-table stats -------------------------------------------------
     tvar = mhw[mtime]
-    ev_years, ev_valid = _years_of(tvar.data)
+    ev_years, ev_valid = _years_of(tvar.data, tvar.attrs)
     flat_years = ev_years.reshape(ev_years.shape[0], -1)
     flat_valid = ev_valid.reshape(ev_valid.shape[0], -1)
     if split:
@@ -346,8 +370,8 @@ def _split_assignment(mhw, bins, flat_years):
     are not datetimes (tstep mode)."""
     t0 = np.asarray(mhw["time_start"].data).reshape(flat_years.shape)
     t1 = np.asarray(mhw["time_end"].data).reshape(flat_years.shape)
-    y0, v0 = _years_of(t0)
-    y1, v1 = _years_of(t1)
+    y0, v0 = _years_of(t0, mhw["time_start"].attrs)
+    y1, v1 = _years_of(t1, mhw["time_end"].attrs)
     crossing = (y0 != y1) & v0 & v1
     if not crossing.any():
         return flat_years
@@ -373,8 +397,8 @@ def _split_assignment(mhw, bins, flat_years):
 def find_across(mhw):
     """Boolean (events, cells) mask of events spanning a year boundary
     (reference: stats.py:431-436)."""
-    y0, v0 = _years_of(mhw["time_start"].data)
-    y1, v1 = _years_of(mhw["time_end"].data)
+    y0, v0 = _years_of(mhw["time_start"].data, mhw["time_start"].attrs)
+    y1, v1 = _years_of(mhw["time_end"].data, mhw["time_end"].attrs)
     return (y0 != y1) & v0 & v1
 
 
@@ -415,8 +439,10 @@ def mhw_rank(mhwds, nYears=None, device=False, cell_block=65536):
     """
     if nYears is None:
         try:
-            y0, v0 = _years_of(mhwds["time_start"].data)
-            y1, v1 = _years_of(mhwds["time_end"].data)
+            y0, v0 = _years_of(mhwds["time_start"].data,
+                               mhwds["time_start"].attrs)
+            y1, v1 = _years_of(mhwds["time_end"].data,
+                               mhwds["time_end"].attrs)
             t0 = np.asarray(mhwds["time_start"].data).reshape(-1)
             t1 = np.asarray(mhwds["time_end"].data).reshape(-1)
             if np.issubdtype(t0.dtype, np.datetime64):

@@ -176,9 +176,39 @@ class DataArray:
 
     def sel(self, **indexers):
         """Label-based selection (exact values or slices)."""
+        from .timeutils import TimeIndex
+
         iidx = {}
         for dim, label in indexers.items():
+            raw = self.coords[dim].values
             vals = _coord_values(self.coords[dim])
+            synth = (isinstance(raw, TimeIndex)
+                     and not np.issubdtype(np.asarray(raw.values).dtype,
+                                           np.datetime64))
+            if synth and isinstance(label, slice) and (
+                    isinstance(label.start, str)
+                    or isinstance(label.stop, str)):
+                # synthetic calendars (noleap/360_day/...) hold raw CF
+                # offsets; date-STRING bounds are matched on decoded
+                # calendar fields, end-inclusive like xarray partial
+                # string indexing ("1983" -> through 31 Dec 1983)
+                ymd = (raw.year.astype(np.int64) * 10000
+                       + raw.month.astype(np.int64) * 100 + raw.day)
+
+                def _enc(s, is_stop):
+                    p = [int(x) for x in str(s).split("-")[:3]]
+                    y = p[0]
+                    mo = p[1] if len(p) > 1 else (12 if is_stop else 1)
+                    d = p[2] if len(p) > 2 else (99 if is_stop else 1)
+                    return y * 10000 + mo * 100 + d
+
+                lo = 0 if label.start is None else int(np.searchsorted(
+                    ymd, _enc(label.start, False), side="left"))
+                hi = len(ymd) if label.stop is None else int(
+                    np.searchsorted(ymd, _enc(label.stop, True),
+                                    side="right"))
+                iidx[dim] = slice(lo, hi)
+                continue
             if isinstance(label, slice):
                 start, stop = label.start, label.stop
                 if np.issubdtype(np.asarray(vals).dtype, np.datetime64):
@@ -229,9 +259,13 @@ class DataArray:
         cell_shape = arr.shape[len(keep):]
         ncell = int(np.prod(cell_shape)) if cell_shape else 1
         data = arr.reshape(lead + (ncell,))
-        # broadcast component coord values over the flattened cells
+        # broadcast component coord values over the flattened cells;
+        # dims without a coordinate variable get positional labels
+        # (xarray's stack(create_index=False) handles them the same way)
+        sizes = dict(zip(self.dims, self.data.shape))
         mesh = np.meshgrid(
-            *[_coord_values(self.coords[d]) for d in dims], indexing="ij"
+            *[_coord_values(self.coords[d]) if d in self.coords
+              else np.arange(sizes[d]) for d in dims], indexing="ij"
         )
         coords = {}
         for k, c in self.coords.items():

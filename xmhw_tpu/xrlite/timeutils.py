@@ -257,8 +257,13 @@ def decode_cf_time(raw: np.ndarray, units: str, calendar: str = "standard"):
             np.datetime64(f"{y:04d}-{mo:02d}-{d:02d}", "ns")
             + np.timedelta64(int(h * 3600 + mi * 60 + round(s)), "s")
         )
-        offs_ns = (np.asarray(raw, dtype=np.float64) * step_seconds * 1e9)
-        values = epoch + offs_ns.astype("timedelta64[ns]")
+        rawf = np.asarray(raw, dtype=np.float64)
+        offs_ns = rawf * step_seconds * 1e9
+        values = epoch + np.where(np.isfinite(rawf), offs_ns, 0.0).astype(
+            "timedelta64[ns]")
+        if not np.isfinite(rawf).all():  # NaN fill -> NaT, explicitly
+            values = np.where(np.isfinite(rawf), values,
+                              np.datetime64("NaT"))
         return TimeIndex(values, calendar=calendar or "standard", units=units)
     return TimeIndex(np.asarray(raw), calendar=calendar, units=units)
 
@@ -273,11 +278,17 @@ def encode_cf_time(tindex: TimeIndex, units: str | None = None):
             np.datetime64(f"{y:04d}-{mo:02d}-{d:02d}", "ns")
             + np.timedelta64(int(h * 3600 + mi * 60 + round(s)), "s")
         )
+        nat = np.isnat(tindex.values)
         delta = (tindex.values - epoch).astype("timedelta64[ns]").astype(
             np.int64
         )
         raw = delta / (step_seconds * 1e9)
-        if np.all(raw == np.round(raw)):
+        if nat.any():
+            # NaT must round-trip as the declared float fill (NaN), not
+            # as INT64_MIN's offset (-106751.99 days, which external
+            # readers would decode as a year-1677 date)
+            raw = np.where(nat, np.nan, raw)
+        elif np.all(raw == np.round(raw)):
             raw = raw.astype(np.int64)
         return raw, units, cal or "standard"
     return tindex.values, tindex.units or units, cal
