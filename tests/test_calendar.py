@@ -152,6 +152,11 @@ def test_noleap_calendar_end_to_end(tmp_path):
     assert not np.allclose(np.nan_to_num(clim_sub["thresh"].data),
                            np.nan_to_num(clim["thresh"].data))
 
+    # reference parity: groupby('doy') on noleap data yields only the
+    # 365 PRESENT doys (no synthetic Feb-29 row) and smooths over them
+    assert clim["thresh"].sizes["doy"] == 365
+    assert 60 not in clim["thresh"].coords["doy"].values
+
     mhw = xm.detect(da, clim["thresh"], clim["seas"], dtype=np.float64)
     assert np.isfinite(mhw["event"].data).sum() > 0
     assert mhw["time_start"].attrs.get("calendar") == "noleap"

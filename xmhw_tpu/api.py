@@ -153,13 +153,34 @@ def threshold(
     if coldSpells:
         data = -data
 
+    # noleap/365_day calendars NEVER hit doy 60 under the 366-mapping:
+    # the reference's groupby('doy') emits the 365 present doys and the
+    # 31-day smoother runs over that axis (no synthetic Feb-29 row in
+    # the windows) — reproduce that exactly. Standard-calendar data that
+    # merely lacks a leap year keeps the dense 366-row axis with the
+    # feb29 patch, so a sub-period climatology still covers leap days
+    # during detection.
+    doy_labels = np.arange(1, ndoy + 1)
+    holey = not tstep and year_days == 365
+    present = (np.isin(doy_labels, np.unique(doy)) if holey
+               else np.ones(ndoy, bool))
+
     thresh, seas = run_clim(
         data, doy, windowHalfWidth, ndoy, pctile=pctile,
-        smooth=smoothPercentile, smooth_w=smoothPercentileWidth,
-        patch_feb29=not tstep, block=cell_block, mesh=mesh,
+        smooth=smoothPercentile and not holey,
+        smooth_w=smoothPercentileWidth,
+        patch_feb29=not tstep and not holey, block=cell_block, mesh=mesh,
     )
+    if holey:
+        doy_labels = doy_labels[present]
+        thresh = thresh[present]
+        seas = seas[present]
+        if smoothPercentile:
+            thresh = _runavg_circular_np(thresh, smoothPercentileWidth)
+            seas = _runavg_circular_np(seas, smoothPercentileWidth)
+        ndoy = len(doy_labels)
 
-    doy_coord = Coord(("doy",), np.arange(1, ndoy + 1))
+    doy_coord = Coord(("doy",), doy_labels)
     q_coord = Coord((), np.float64(pctile / 100.0))
     ds = Dataset()
     if point:
@@ -187,6 +208,16 @@ def threshold(
         pctile, tindex.year[0], tindex.year[-1], windowHalfWidth, skipna,
         smoothPercentile, smoothPercentileWidth, anynans)
     return ds
+
+
+def _runavg_circular_np(x, w):
+    """Host circular running mean over axis 0 (NaN-propagating), the
+    365-row-axis equivalent of core.clim.runavg_circular."""
+    half = w // 2
+    xp = np.concatenate([x[-half:], x, x[:half]], axis=0)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    return sliding_window_view(xp, w, axis=0).mean(axis=-1)
 
 
 def _align_clim_cells(clim_da, ts_cell_coords, n_cells, name):

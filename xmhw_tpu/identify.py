@@ -113,13 +113,25 @@ def mhw_filter(bthresh, min_duration=5, join_gaps=True, max_gap=2,
                 day0_fillna_quirk=bool(day0_fillna_quirk))
     eid = np.asarray(f["event_id"]).astype(float)
     eid[eid < 0] = np.nan
-    out = {
-        "events": eid[:, 0] if squeeze else eid,
+    # reference surface (identify.py:461-471 + join_gaps concat): per-day
+    # float series, start/end valued ONLY at each event's END row
+    ev_start = np.asarray(f["ev_start"])
+    ev_end = np.asarray(f["ev_end"])
+    T = b.shape[0]
+    is_end = (np.asarray(f["event_day"])
+              & (np.arange(T)[:, None] == ev_end))
+    start = np.where(is_end, ev_start.astype(float), np.nan)
+    end = np.where(is_end, ev_end.astype(float), np.nan)
+
+    def _sq(x):
+        return x[:, 0] if squeeze else x
+
+    return {
+        "events": _sq(eid),
         "n_events": np.asarray(f["n_events"]),
-        "start": np.asarray(f["ev_start"]),
-        "end": np.asarray(f["ev_end"]),
+        "start": _sq(start),
+        "end": _sq(end),
     }
-    return out
 
 
 def window_roll(ts: DataArray, w: int, tdim: str = "time",

@@ -51,6 +51,42 @@ def open_dataset(path):
     return _open_classic(path)
 
 
+def _cf_unpack(vals, attrs):
+    """CF packing/fill decode: scale_factor, add_offset, _FillValue and
+    missing_value (xarray-equivalent; real-world products like packed
+    int16 OISST need this). Consumes the packing attrs."""
+    fv = attrs.pop("_FillValue", None)
+    mv = attrs.pop("missing_value", None)
+    sf = attrs.pop("scale_factor", None)
+    ao = attrs.pop("add_offset", None)
+    packed = sf is not None or ao is not None
+    if not packed and fv is None and mv is None:
+        return vals
+    mask = np.zeros(np.shape(vals), bool)
+    for f in (fv, mv):
+        if f is None:
+            continue
+        f = np.asarray(f).reshape(-1)[0]
+        if np.issubdtype(vals.dtype, np.floating) and np.isnan(
+                np.float64(f)):
+            mask |= np.isnan(vals)
+        else:
+            mask |= vals == vals.dtype.type(f)
+    if packed or (mask.any() and not np.issubdtype(vals.dtype,
+                                                   np.floating)):
+        out_dt = np.result_type(
+            np.float32 if vals.dtype.itemsize <= 2 else np.float64,
+            *(np.asarray(x).dtype for x in (sf, ao) if x is not None))
+        vals = vals.astype(out_dt)
+        if sf is not None:
+            vals = vals * np.asarray(sf).reshape(-1)[0]
+        if ao is not None:
+            vals = vals + np.asarray(ao).reshape(-1)[0]
+    if mask.any():
+        vals = np.where(mask, np.nan, vals)
+    return vals
+
+
 def _open_h5(path):
     import h5py
 
@@ -78,19 +114,13 @@ def _open_h5(path):
                 tindex.encoding = {"units": units, "calendar": cal}
                 coords[name] = Coord((name,), tindex, attrs)
             else:
-                fv = attrs.pop("_FillValue", None)
-                if fv is not None and np.issubdtype(vals.dtype, np.floating):
-                    vals = np.where(vals == fv, np.nan, vals)
+                vals = _cf_unpack(vals, attrs)
                 coords[name] = Coord((name,), vals, attrs)
 
         for name in var_names:
             node = h[name]
             attrs = _h5attrs(node)
-            fv = attrs.pop("_FillValue", None)
-            vals = node[()]
-            if fv is not None and not np.isnan(np.asarray(fv)):
-                if np.issubdtype(vals.dtype, np.floating):
-                    vals = np.where(vals == fv, np.nan, vals)
+            vals = _cf_unpack(node[()], attrs)
             # resolve dims through DIMENSION_LIST references
             dims = []
             if "DIMENSION_LIST" in node.attrs:
@@ -104,6 +134,11 @@ def _open_h5(path):
                 units = str(attrs.pop("units"))
                 tindex = decode_cf_time(vals, units, cal)
                 vals = tindex.values
+                if not np.issubdtype(np.asarray(vals).dtype,
+                                     np.datetime64):
+                    # synthetic calendars keep raw offsets: preserve the
+                    # CF metadata so year derivation survives round trips
+                    attrs.update(units=units, calendar=cal)
             if attrs.pop("dtype", None) == "bool":
                 vals = vals.astype(bool)
             # 1-D variable over an unnamed dim is an aux coordinate
@@ -133,10 +168,7 @@ def _open_classic(path):
                 k: (v.decode() if isinstance(v, bytes) else v)
                 for k, v in var._attributes.items()
             }
-            vals = np.array(var[:])
-            fv = attrs.pop("_FillValue", None)
-            if fv is not None and np.issubdtype(vals.dtype, np.floating):
-                vals = np.where(vals == fv, np.nan, vals)
+            vals = _cf_unpack(np.array(var[:]), attrs)
             if name in f.dimensions:
                 if _is_time(name, attrs):
                     cal = str(attrs.pop("calendar", "standard"))
@@ -153,10 +185,7 @@ def _open_classic(path):
                 k: (v.decode() if isinstance(v, bytes) else v)
                 for k, v in var._attributes.items()
             }
-            vals = np.array(var[:])
-            fv = attrs.pop("_FillValue", None)
-            if fv is not None and np.issubdtype(vals.dtype, np.floating):
-                vals = np.where(vals == fv, np.nan, vals)
+            vals = _cf_unpack(np.array(var[:]), attrs)
             dims = list(var.dimensions)
             ds[name] = DataArray(
                 vals, dims, {d: coords[d] for d in dims if d in coords},
@@ -225,15 +254,15 @@ def save_dataset(ds, path, encoding=None):
                 continue
             enc = encoding.get(name, {})
             data = da.data
+            var_attrs = dict(da.attrs)  # never mutate the caller's array
             if np.issubdtype(data.dtype, np.datetime64):
                 tindex = TimeIndex(data.reshape(-1))
                 raw, units, cal = encode_cf_time(tindex, None)
                 data = np.asarray(raw).reshape(da.shape)
-                da = da.copy(data=data)
-                da.attrs.update(units=units, calendar=cal)
+                var_attrs.update(units=units, calendar=cal)
             if data.dtype == bool:
                 data = data.astype(np.int8)
-                da.attrs["dtype"] = "bool"
+                var_attrs["dtype"] = "bool"
             if "dtype" in enc:
                 data = data.astype(enc["dtype"])
             kwargs = {}
@@ -246,7 +275,7 @@ def save_dataset(ds, path, encoding=None):
             if np.issubdtype(np.asarray(data).dtype, np.floating):
                 node.attrs["_FillValue"] = np.array(
                     [np.nan], dtype=data.dtype)
-            for k, v in da.attrs.items():
+            for k, v in var_attrs.items():
                 try:
                     node.attrs[k] = v
                 except TypeError:

@@ -38,7 +38,11 @@ CALENDAR_NDAYS = {
 }
 
 # Calendars that numpy datetime64 handles natively.
-_DT64_CALENDARS = {"standard", "gregorian", "proleptic_gregorian", "julian", ""}
+_DT64_CALENDARS = {"standard", "gregorian", "proleptic_gregorian", ""}
+# julian is decoded arithmetically: its leap rule (every 4th year, no
+# century exception — 1900 IS a julian leap year) differs from the
+# proleptic-gregorian arithmetic datetime64 uses, so mapping it onto
+# datetime64 would shift dates vs the reference's cftime decoding
 
 # month lengths for the synthetic calendars
 _DAYS_IN_MONTH_365 = np.array([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31])
@@ -209,8 +213,51 @@ def _decode_dt64(values: np.ndarray) -> dict:
     }
 
 
+def _decode_julian(raw: np.ndarray, units: str) -> dict:
+    """Decode raw CF offsets on the proleptic JULIAN calendar (leap
+    every 4th year, no century exception)."""
+    step_seconds, epoch = parse_cf_units(units)
+    ey, em, ed = epoch[0], epoch[1], epoch[2]
+
+    def days_before_year(y):
+        return 365 * y + (y + 3) // 4  # leap years among 0..y-1
+
+    e_leap = ey % 4 == 0
+    e_mstart = np.concatenate(
+        [[0], np.cumsum(_DAYS_IN_MONTH_366 if e_leap
+                        else _DAYS_IN_MONTH_365)])
+    epoch_day = (days_before_year(ey) + e_mstart[em - 1] + (ed - 1))
+    total_days = (
+        np.asarray(raw, dtype=np.float64) * step_seconds / 86400.0
+        + epoch_day
+        + (epoch[3] * 3600 + epoch[4] * 60 + epoch[5]) / 86400.0
+    )
+    day_int = np.floor(total_days).astype(np.int64)
+    # 4-year cycle of 1461 days; year 0 of each cycle is the leap year
+    quad, rem = day_int // 1461, day_int % 1461
+    yo = np.where(rem < 366, 0, 1 + (rem - 366) // 365)
+    doy0 = rem - np.array([0, 366, 731, 1096])[yo]
+    year = quad * 4 + yo
+    leap = yo == 0
+    ms365 = np.concatenate([[0], np.cumsum(_DAYS_IN_MONTH_365)])
+    ms366 = np.concatenate([[0], np.cumsum(_DAYS_IN_MONTH_366)])
+    m365 = np.searchsorted(ms365, doy0, side="right")
+    m366 = np.searchsorted(ms366, doy0, side="right")
+    month = np.where(leap, m366, m365)
+    day = doy0 - np.where(leap, ms366[m366 - 1], ms365[m365 - 1]) + 1
+    return {
+        "year": year.astype(np.int64),
+        "month": month.astype(np.int64),
+        "day": day.astype(np.int64),
+        "dayofyear": (doy0 + 1).astype(np.int64),
+        "is_leap_year": leap,
+    }
+
+
 def _decode_synthetic(raw: np.ndarray, units: str, calendar: str) -> dict:
-    """Decode raw CF offsets for noleap/all_leap/360_day calendars."""
+    """Decode raw CF offsets for noleap/all_leap/360_day/julian."""
+    if calendar == "julian":
+        return _decode_julian(raw, units)
     step_seconds, epoch = parse_cf_units(units)
     ndays = {"noleap": 365, "365_day": 365, "all_leap": 366, "366_day": 366,
              "360_day": 360}[calendar]
@@ -253,17 +300,30 @@ def decode_cf_time(raw: np.ndarray, units: str, calendar: str = "standard"):
     calendar = normalize_calendar(calendar)
     if calendar in _DT64_CALENDARS:
         step_seconds, (y, mo, d, h, mi, s) = parse_cf_units(units)
-        epoch = (
-            np.datetime64(f"{y:04d}-{mo:02d}-{d:02d}", "ns")
-            + np.timedelta64(int(h * 3600 + mi * 60 + round(s)), "s")
-        )
+        # compute in DAY resolution first: CF epochs like
+        # "days since 0001-01-01" are outside the datetime64[ns] range
+        # (~1678-2262) and would silently wrap if built in ns — only the
+        # decoded DATA timestamps need to be ns-representable
+        epoch_days = (np.datetime64(f"{y:04d}-{mo:02d}-{d:02d}", "D")
+                      - np.datetime64("1970-01-01", "D")).astype(np.int64)
         rawf = np.asarray(raw, dtype=np.float64)
-        offs_ns = rawf * step_seconds * 1e9
-        values = epoch + np.where(np.isfinite(rawf), offs_ns, 0.0).astype(
-            "timedelta64[ns]")
-        if not np.isfinite(rawf).all():  # NaN fill -> NaT, explicitly
-            values = np.where(np.isfinite(rawf), values,
-                              np.datetime64("NaT"))
+        fin = np.isfinite(rawf)
+        safe = np.where(fin, rawf, 0.0)
+        days = (safe * (step_seconds / 86400.0)
+                + (h * 3600 + mi * 60 + s) / 86400.0)
+        dint = np.floor(days)
+        frac_ns = np.round((days - dint) * 86400.0 * 1e9).astype(np.int64)
+        abs_days = epoch_days + dint.astype(np.int64)
+        if fin.any() and (np.abs(abs_days[fin]).max() > 106_750):
+            raise ValueError(
+                f"time values decoded from units {units!r} fall outside "
+                "the datetime64[ns] range (years ~1678-2262)")
+        values = (np.datetime64("1970-01-01", "ns")
+                  + abs_days.astype("timedelta64[D]").astype(
+                      "timedelta64[ns]")
+                  + frac_ns.astype("timedelta64[ns]"))
+        if not fin.all():  # NaN fill -> NaT, explicitly
+            values = np.where(fin, values, np.datetime64("NaT"))
         return TimeIndex(values, calendar=calendar or "standard", units=units)
     return TimeIndex(np.asarray(raw), calendar=calendar, units=units)
 
@@ -274,15 +334,19 @@ def encode_cf_time(tindex: TimeIndex, units: str | None = None):
     if np.issubdtype(np.asarray(tindex.values).dtype, np.datetime64):
         units = units or "days since 1970-01-01 00:00:00"
         step_seconds, (y, mo, d, h, mi, s) = parse_cf_units(units)
-        epoch = (
-            np.datetime64(f"{y:04d}-{mo:02d}-{d:02d}", "ns")
-            + np.timedelta64(int(h * 3600 + mi * 60 + round(s)), "s")
-        )
+        # day-resolution arithmetic: the epoch may be outside the ns
+        # range (e.g. "days since 0001-01-01") — see decode_cf_time
+        epoch_days = (np.datetime64(f"{y:04d}-{mo:02d}-{d:02d}", "D")
+                      - np.datetime64("1970-01-01", "D")).astype(np.int64)
         nat = np.isnat(tindex.values)
-        delta = (tindex.values - epoch).astype("timedelta64[ns]").astype(
-            np.int64
-        )
-        raw = delta / (step_seconds * 1e9)
+        vals = np.where(nat, np.datetime64(0, "ns"), tindex.values)
+        vdays = vals.astype("datetime64[D]")
+        intra_ns = (vals - vdays).astype("timedelta64[ns]").astype(
+            np.int64)
+        day_off = (vdays - np.datetime64("1970-01-01", "D")).astype(
+            np.int64) - epoch_days
+        raw = ((day_off * 86400.0 + intra_ns / 1e9
+                - (h * 3600 + mi * 60 + s)) / step_seconds)
         if nat.any():
             # NaT must round-trip as the declared float fill (NaN), not
             # as INT64_MIN's offset (-106751.99 days, which external
