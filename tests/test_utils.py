@@ -141,3 +141,56 @@ def test_to_netcdf_does_not_mutate_bool_attrs(tmp_path):
                            {"x": Coord(("x",), np.arange(2))})
     ds.to_netcdf(str(tmp_path / "b.nc"))
     assert "dtype" not in ds["flag"].attrs
+
+
+def test_dataset_pickle_deepcopy():
+    import copy
+    import pickle
+
+    from xmhw_tpu.xrlite import Coord, DataArray, Dataset
+
+    ds = Dataset()
+    ds["a"] = DataArray(np.arange(3.0), ("x",),
+                        {"x": Coord(("x",), np.arange(3))})
+    back = pickle.loads(pickle.dumps(ds))
+    np.testing.assert_array_equal(back["a"].data, ds["a"].data)
+    dc = copy.deepcopy(ds)
+    np.testing.assert_array_equal(dc["a"].data, ds["a"].data)
+
+
+def test_xarray_style_coord_tuple():
+    from xmhw_tpu.xrlite import DataArray
+
+    da = DataArray(np.zeros((2, 3)), ("time", "cell"),
+                   {"lon": ("cell", np.array([10.0, 11.0, 12.0])),
+                    "time": ("time", np.arange(2))})
+    assert da.coords["lon"].dims == ("cell",)
+    np.testing.assert_array_equal(da.coords["lon"].values,
+                                  [10.0, 11.0, 12.0])
+    with np.testing.assert_raises(ValueError):
+        DataArray(np.zeros((2, 3)), ("time", "cell"),
+                  {"lon": np.array([10.0, 11.0, 12.0])})
+
+
+def test_sel_descending_coord():
+    from xmhw_tpu.xrlite import Coord, DataArray
+
+    da = DataArray(np.arange(4.0), ("lat",),
+                   {"lat": Coord(("lat",), np.array([40., 30., 20., 10.]))})
+    out = da.sel(lat=slice(35, 15))
+    np.testing.assert_array_equal(out.coords["lat"].values, [30., 20.])
+    out2 = da.sel(lat=slice(30, 20))  # inclusive bounds
+    np.testing.assert_array_equal(out2.coords["lat"].values, [30., 20.])
+
+
+def test_isel_scalar_time_coord():
+    from xmhw_tpu.xrlite import Coord, DataArray, TimeIndex
+
+    t = np.arange("2001-01-01", "2001-01-04",
+                  dtype="datetime64[D]").astype("datetime64[ns]")
+    da = DataArray(np.arange(3.0), ("time",),
+                   {"time": Coord(("time",), TimeIndex(t))})
+    p = da.isel(time=1)
+    v = p.coords["time"].values
+    assert np.ndim(v) == 0 or isinstance(v, np.datetime64)
+    assert np.datetime64(v) == t[1]

@@ -258,8 +258,6 @@ def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
     is padded to the global maximum. Replaces the per-cell define_events
     fan-out (reference: xmhw/xmhw.py:440-454, identify.py:328-412).
     """
-    import logging
-
     T, C = ts_np.shape
     runner = CellRunner(C, T, block=block, mesh=mesh)
     n_dev = len(runner.mesh.devices.flat) if runner.mesh else 1
@@ -271,7 +269,8 @@ def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
         if runner.block % quantum:
             runner.block = -(-runner.block // quantum) * quantum
 
-    kcap_eff = _round_k(k_cap) if k_cap is not None else None
+    # the cap is the user's EXACT memory contract — never round it up
+    kcap_eff = int(k_cap) if k_cap is not None else None
 
     def _cap(k):
         return min(k, kcap_eff) if kcap_eff is not None else k
@@ -336,7 +335,9 @@ def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
             inter_out[k][:, lo:hi] = np.asarray(v)[:, :w]
 
     if dropped:
-        logging.getLogger("xmhw_tpu").warning(
+        from ..utils import logger
+
+        logger.warning(
             "k_cap=%d truncated the event table: %d event(s) dropped "
             "across the grid", k_cap, dropped)
     return tables, n_events, inter_out

@@ -71,13 +71,21 @@ class DataArray:
             if isinstance(v, Coord):
                 self.coords[k] = v.copy()
             elif isinstance(v, tuple) and len(v) in (2, 3):
-                self.coords[k] = Coord(*v)
+                # xarray convention: a bare string names ONE dim
+                # (tuple('cell') would explode into characters)
+                cdims = (v[0],) if isinstance(v[0], str) else tuple(v[0])
+                self.coords[k] = Coord(cdims, *v[1:])
             else:
                 # scalar or 1-D coord named after its dim
                 arr = _asarray(v)
                 cdims = (k,) if (np.ndim(arr) == 1 and k in self.dims) else ()
                 if np.ndim(arr) == 1 and k not in self.dims and len(arr) == 1:
                     arr = arr[0] if not isinstance(arr, TimeIndex) else arr
+                if np.ndim(arr) >= 1 and not cdims:
+                    raise ValueError(
+                        f"coordinate {k!r} has {np.ndim(arr)}-D values but "
+                        f"no dimension: name it after one of {self.dims} "
+                        "or pass an xarray-style (dim, values) tuple")
                 self.coords[k] = Coord(cdims, arr)
         self.attrs = dict(attrs or {})
         self.name = name
@@ -171,6 +179,11 @@ class DataArray:
             vals = c.values[tuple(csl)] if len(csl) > 1 else c.values[csl[0]]
             cdims = tuple(d for d, s in zip(c.dims, csl)
                           if not isinstance(s, (int, np.integer)))
+            from .timeutils import TimeIndex as _TI
+            if not cdims and isinstance(vals, _TI):
+                # scalar selection of a TimeIndex coord yields the
+                # underlying timestamp, not a length-1 TimeIndex
+                vals = np.asarray(vals.values).reshape(-1)[0]
             coords[k] = Coord(cdims, vals, c.attrs)
         return DataArray(data, new_dims, coords, dict(self.attrs), self.name)
 
@@ -218,11 +231,25 @@ class DataArray:
                         # the END of that period ("2003-01" -> 31 Jan 23:59)
                         stop64 = np.datetime64(stop)
                         stop = (stop64 + 1).astype("datetime64[ns]")
-                lo = 0 if start is None else int(
-                    np.searchsorted(vals, start, side="left"))
-                hi = len(vals) if stop is None else int(
-                    np.searchsorted(vals, stop, side="left"))
-                iidx[dim] = slice(lo, hi)
+                va = np.asarray(vals)
+                desc = len(va) > 1 and va[0] > va[-1]
+                if desc:
+                    # descending coords (NetCDF lat is often north-first):
+                    # like xarray, bounds are given in coord order
+                    # (slice(35, 15)), searched on the reversed array
+                    n = len(va)
+                    rev = va[::-1]
+                    lo = 0 if start is None else n - int(
+                        np.searchsorted(rev, start, side="right"))
+                    hi = n if stop is None else n - int(
+                        np.searchsorted(rev, stop, side="left"))
+                    iidx[dim] = slice(lo, hi)
+                else:
+                    lo = 0 if start is None else int(
+                        np.searchsorted(va, start, side="left"))
+                    hi = len(va) if stop is None else int(
+                        np.searchsorted(va, stop, side="left"))
+                    iidx[dim] = slice(lo, hi)
             else:
                 if np.issubdtype(np.asarray(vals).dtype, np.datetime64):
                     label = np.datetime64(label)
@@ -345,6 +372,11 @@ class Dataset:
         return self.data_vars.items()
 
     def __getattr__(self, name):
+        # guard: during unpickling/deepcopy the instance exists before
+        # __init__ ran, and attribute probes (__setstate__, ...) must
+        # fail fast instead of recursing through data_vars
+        if name.startswith("_") or "data_vars" not in self.__dict__:
+            raise AttributeError(name)
         try:
             return self.__getitem__(name)
         except KeyError:
