@@ -11,18 +11,23 @@ i.e. 620000/60/8 ~= 1292 cells/s/chip = 1.0.
 The full config suite (BASELINE.md "configs to implement") is embedded
 in the JSON line under detail.configs and traced on stderr:
 
+  0 global_streamed   MEASURED file-to-file planet-scale pipeline:
+                      stream_threshold/detect/block_average/rank on a
+                      multi-GB synthetic NetCDF on disk (wall, RSS,
+                      device share; scale via XMHW_BENCH_GLOBAL)
   1 single_point      ~30-yr series through the public API (host incl.)
   2 tasman_regional   50x50 grid, 30% land NaNs, skipna on/off, union
-                      assembly included (user-visible end-to-end)
+                      assembly included (user-visible end-to-end),
+                      upload share reported separately
   3 global_fused      device-resident fused kernel over all 152 blocks
+                      (K-overflow asserted against raw counts)
   4 monthly_tstep     non-daily tstep path through the public API
   5 stats_pipeline    detect(compact) + block_average(device) + mhw_rank
 
-Synthetic global data is generated on-device (seasonal cycle +
-AR-smoothed noise): the axon harness tunnel moves host<->device data at
-~12 MB/s, which would measure the tunnel, not the framework. The
-regional configs DO go through the public host API and report their
-upload share separately.
+For global_fused, synthetic data is generated on-device (seasonal cycle
++ AR-smoothed noise): the axon harness tunnel moves host<->device data
+at ~12 MB/s, which would measure the tunnel, not the framework — the
+streamed config 0 measures that full path deliberately.
 """
 
 import json
@@ -121,7 +126,10 @@ def bench_global_fused():
         table, nev, _ = _core(ts_p)
         digest = jnp.stack(
             [jnp.nansum(v.astype(jnp.float32)) for v in table.values()])
-        return digest, jnp.sum(nev)
+        # max raw count rides the digest so the host can assert K was
+        # never overflowed (raw counts may exceed K; a silent overflow
+        # would truncate events out of the digest)
+        return digest, jnp.sum(nev), jnp.max(nev)
 
     # BASELINE config 5 at global scale: the full device-resident stats
     # pipeline chained on the fused step — year-block aggregations
@@ -163,11 +171,11 @@ def bench_global_fused():
     staged = [gen(k) for k in keys[:ngen]]
     # warmup: compile, then a few untimed steps — the first post-compile
     # executions run up to ~2x slow while the chip ramps clocks
-    digest, nev = step(staged[-1])
+    digest, nev, nmax = step(staged[-1])
     assert np.isfinite(np.asarray(digest)).all()
     warm_events = int(nev)
     ramp = [step(staged[i % ngen]) for i in range(4)]
-    _ = np.asarray(jnp.stack([d for d, _ in ramp]).sum(axis=0))
+    _ = np.asarray(jnp.stack([d for d, _, _ in ramp]).sum(axis=0))
 
     t0 = time.perf_counter()
     outs = [step(staged[i % ngen]) for i in range(n_blocks)]
@@ -175,9 +183,13 @@ def bench_global_fused():
     # tunnel is ~12 MB/s with ~100 ms RTT; per-block scalar fetches
     # would measure the tunnel, not the chip)
     total_events = int(np.asarray(
-        jnp.stack([n for _, n in outs]).sum()))
-    _ = np.asarray(jnp.stack([d for d, _ in outs]).sum(axis=0))
+        jnp.stack([n for _, n, _ in outs]).sum()))
+    _ = np.asarray(jnp.stack([d for d, _, _ in outs]).sum(axis=0))
     dt = time.perf_counter() - t0
+    max_raw = int(np.asarray(jnp.stack([m for _, _, m in outs]).max()))
+    assert max_raw <= K, (
+        f"K={K} overflowed: a cell had {max_raw} raw events — digest "
+        "would silently truncate")
 
     # stats pipeline at global scale (device-resident end to end)
     ds0, _ = step_stats(staged[-1])
@@ -196,12 +208,176 @@ def bench_global_fused():
         "cells": cells,
         "T_days": T,
         "events": total_events,
+        "max_raw_events_per_cell": max_raw,
+        "K": K,
         "warmup_events": warm_events,
         "global_oisst_1chip_s": round(GLOBAL_CELLS / rate, 1),
         "global_oisst_8chip_s": round(GLOBAL_CELLS / (rate * 8), 1),
         "with_stats_rank_wall_s": round(dstats, 3),
         "with_stats_rank_cells_per_sec": round(cells / dstats, 1),
     }, rate
+
+
+def _gen_global_file(path, ny, nx, years, land_frac=0.33, seed=7):
+    """Synthetic global SST NetCDF4 at `path`: (time, lat, lon) f32.
+
+    Rank-B basis matmul per lat-stripe (seasonal cycle + multi-period
+    oscillations with random per-cell coefficients — produces realistic
+    multi-day exceedance runs) + a deterministic land mask. Generation is
+    test harness, not framework; it runs once and is cached on disk.
+    """
+    import h5py
+
+    T = int(round(years * 365.25))
+    t_raw = np.arange(T, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    periods = [365.25, 182.6, 45.0, 30.4, 21.0, 13.7, 9.3, 6.1]
+    B = 2 * len(periods)
+    basis = np.empty((T, B), np.float32)
+    for i, p in enumerate(periods):
+        w = 2 * np.pi * t_raw / p
+        basis[:, 2 * i] = np.sin(w)
+        basis[:, 2 * i + 1] = np.cos(w)
+    lat = np.linspace(-89.875, 89.875, ny).astype(np.float64)
+    lon = np.linspace(0.125, 359.875, nx).astype(np.float64)
+    # land: a smooth deterministic pattern covering ~land_frac
+    li, lj = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    landfield = (np.sin(li * 0.11) * np.cos(lj * 0.07)
+                 + 0.5 * np.sin(li * 0.031 + lj * 0.023))
+    land = landfield > np.quantile(landfield, 1 - land_frac)
+
+    with h5py.File(path, "w") as f:
+        tnode = f.create_dataset("time", data=t_raw)
+        tnode.attrs["units"] = "days since 1982-01-01 00:00:00"
+        tnode.attrs["calendar"] = "standard"
+        tnode.make_scale("time")
+        ynode = f.create_dataset("lat", data=lat)
+        ynode.attrs["units"] = "degrees_north"
+        ynode.make_scale("lat")
+        xnode = f.create_dataset("lon", data=lon)
+        xnode.attrs["units"] = "degrees_east"
+        xnode.make_scale("lon")
+        v = f.create_dataset("sst", shape=(T, ny, nx), dtype="f4",
+                             chunks=(min(T, 4096), 4, nx))
+        v.attrs["units"] = "degree_C"
+        for d, s in zip(v.dims, (tnode, ynode, xnode)):
+            d.attach_scale(s)
+        rows = max(1, int(2e9 / (T * nx * 4)))
+        seas_amp = (3.0 + 5.0 * np.abs(lat) / 90.0).astype(np.float32)
+        base_sst = (28.0 - 26.0 * (np.abs(lat) / 90.0) ** 1.5).astype(
+            np.float32)
+        for lo in range(0, ny, rows):
+            hi = min(lo + rows, ny)
+            cells = (hi - lo) * nx
+            coef = rng.normal(0, 0.55, (B, cells)).astype(np.float32)
+            coef[0] *= 0.2  # seasonal handled separately
+            block = basis @ coef  # (T, cells)
+            block = block.reshape(T, hi - lo, nx)
+            block += base_sst[lo:hi, None]
+            block += (seas_amp[lo:hi, None]
+                      * np.sin(2 * np.pi * t_raw / 365.25)[:, None, None]
+                      * np.sign(lat[lo:hi])[None, :, None]).astype(
+                          np.float32)
+            block[:, land[lo:hi]] = np.nan
+            v[:, lo:hi] = block
+    return int((~land).sum())
+
+
+def bench_global_streamed():
+    """MEASURED file-to-file planet-scale run: stream_threshold +
+    stream_detect + stream_block_average + stream_rank on a synthetic
+    global NetCDF on disk, through the real chip. Reports wall time per
+    stage, peak host RSS, and the device-step share. Scale via
+    XMHW_BENCH_GLOBAL="NYxNXxYEARS" (default 360x480x40 ~ 10 GB input,
+    ~116k ocean cells; the 0.25-degree original is 720x1440x40 ~ 60 GB —
+    feasible on disk, but H2D through the axon tunnel dominates)."""
+    import resource
+
+    import xmhw_tpu as xm
+
+    spec = os.environ.get("XMHW_BENCH_GLOBAL",
+                          "24x48x3" if FAST else "360x480x40")
+    ny, nx, years = (int(x) for x in spec.split("x"))
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    src = os.path.join(cache, f"global_sst_{ny}x{nx}x{years}.nc")
+    tgen0 = time.perf_counter()
+    if not os.path.exists(src):
+        ocean = _gen_global_file(src, ny, nx, years)
+        log(f"[bench] generated {src} ({os.path.getsize(src) / 1e9:.1f} "
+            f"GB, {ocean} ocean cells) in "
+            f"{time.perf_counter() - tgen0:.1f}s")
+    clim_out = os.path.join(cache, "global_clim.nc")
+    mhw_out = os.path.join(cache, "global_mhw.nc")
+    blk_out = os.path.join(cache, "global_block.nc")
+    rank_out = os.path.join(cache, "global_rank.nc")
+
+    from xmhw_tpu.core import pipeline as _pl
+
+    # attribute device-step time: wrap the two kernel-loop entry points
+    dev_t = {"s": 0.0}
+
+    def _timed(fn):
+        def wrap(*a, **k):
+            t0 = time.perf_counter()
+            out = fn(*a, **k)
+            dev_t["s"] += time.perf_counter() - t0
+            return out
+        return wrap
+
+    orig_clim, orig_det = _pl.run_clim, _pl.run_detect
+    _pl.run_clim = _timed(orig_clim)
+    _pl.run_detect = _timed(orig_det)
+    import xmhw_tpu.stream as _st
+    _st.run_clim, _st.run_detect = _pl.run_clim, _pl.run_detect
+    try:
+        t0 = time.perf_counter()
+        xm.stream_threshold(src, "sst", clim_out)
+        t1 = time.perf_counter()
+        xm.stream_detect(src, "sst", clim_out, mhw_out,
+                         events_layout="compact")
+        t2 = time.perf_counter()
+        xm.stream_block_average(mhw_out, blk_out, dstime_path=src,
+                                dstime_var="sst", clim_path=clim_out)
+        t3 = time.perf_counter()
+        xm.stream_rank(mhw_out, rank_out)
+        t4 = time.perf_counter()
+    finally:
+        _pl.run_clim, _pl.run_detect = orig_clim, orig_det
+        _st.run_clim, _st.run_detect = orig_clim, orig_det
+
+    import h5py
+
+    with h5py.File(mhw_out, "r") as f:
+        n_events = int(np.isfinite(f["event"][()]).sum())
+    with h5py.File(src, "r") as f:
+        # synthetic land is all-NaN along time: one slice identifies it
+        ocean = int(np.isfinite(f["sst"][0]).sum())
+    rss_gb = resource.getrusage(
+        resource.RUSAGE_SELF).ru_maxrss / 1e6  # kB -> GB
+    wall = t4 - t0
+    td_wall = t2 - t0
+    for p in (clim_out, mhw_out, blk_out, rank_out,
+              rank_out[:-3] + "_return.nc"):
+        if os.path.exists(p):
+            os.remove(p)
+    return {
+        "name": "global_streamed",
+        "grid": f"{ny}x{nx}x{years}y",
+        "input_gb": round(os.path.getsize(src) / 1e9, 2),
+        "ocean_cells": ocean,
+        "events": n_events,
+        "threshold_s": round(t1 - t0, 1),
+        "detect_s": round(t2 - t1, 1),
+        "block_average_s": round(t3 - t2, 1),
+        "rank_s": round(t4 - t3, 1),
+        "wall_s": round(wall, 1),
+        "threshold_detect_cells_per_sec": round(ocean / td_wall, 1),
+        "device_step_s": round(dev_t["s"], 1),
+        "device_step_share": round(dev_t["s"] / wall, 3),
+        "peak_host_rss_gb": round(rss_gb, 2),
+    }
 
 
 def bench_point():
@@ -247,6 +423,18 @@ def bench_regional(years=None):
 
     out = {"name": "tasman_regional", "T_days": T, "grid": f"{ny}x{nx}",
            "ocean_cells": ocean}
+    # upload share, reported separately (docstring promise): time ONE
+    # H2D ship of the ocean-compacted (T, C) block — the same transfer
+    # threshold/detect perform per block through the tunnel
+    import jax.numpy as jnp
+
+    comp = np.ascontiguousarray(ts[:, ~np.isnan(ts).all(axis=0)])
+    tu0 = time.perf_counter()
+    xdev = jnp.asarray(comp)
+    float(xdev.ravel()[0])  # force through the tunnel (see verify skill)
+    out["upload_s_per_block"] = round(time.perf_counter() - tu0, 3)
+    out["upload_mb"] = round(comp.nbytes / 1e6, 1)
+    del xdev
     for skipna in (False, True):
         key = "skipna_true" if skipna else "skipna_false"
         rec = {}
@@ -382,8 +570,12 @@ def main():
 
     configs = {}
     rate = None
-    for fn in (bench_point, bench_regional, bench_monthly, bench_stats,
-               bench_global_fused):
+    # global_streamed runs FIRST so its peak-RSS number is not inflated
+    # by earlier configs' host allocations (ru_maxrss is process-max);
+    # the persistent compile cache keeps its wall time free of compiles
+    # on every run after the very first
+    for fn in (bench_global_streamed, bench_point, bench_regional,
+               bench_monthly, bench_stats, bench_global_fused):
         name = fn.__name__
         log(f"[bench] running {name} ...")
         t0 = time.perf_counter()

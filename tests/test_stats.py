@@ -316,6 +316,51 @@ def test_block_average_device_path(mhw_oisst):
             err_msg=v)
 
 
+def test_block_ts_stats_device_matches_host(mhw_oisst, oisst_ts):
+    """Device per-day block stats (binned_day_stats) vs the host bincount
+    path: ts mode, cats mode, removeMissing, blockLength=2."""
+    mhw, inter = mhw_oisst
+    for kw in ({"dstime": oisst_ts},             # ts-only mode
+               {"dstime": inter},                # cats mode (ts/thresh/seas)
+               {"dstime": inter, "removeMissing": True},
+               {"dstime": inter, "blockLength": 2}):
+        host = xm.block_average(mhw, **kw)
+        dev = xm.block_average(mhw, device=True, **kw)
+        assert set(host.keys()) == set(dev.keys())
+        for v in host.keys():
+            np.testing.assert_allclose(
+                np.asarray(dev[v].data), np.asarray(host[v].data),
+                rtol=1e-9, atol=1e-9, equal_nan=True,
+                err_msg=f"{v} {kw}")
+
+
+def test_block_ts_stats_device_cell_blocked(mhw_oisst, oisst_ts):
+    """Cell-blocked device path (cell_block smaller than the grid) equals
+    the single-block result."""
+    from xmhw_tpu.stats_api import (_block_ts_stats_device, _flatten_cells,
+                                    _years_of, check_coordinates,
+                                    check_variables)
+    from xmhw_tpu.xrlite import Coord, Dataset
+
+    mhw, inter = mhw_oisst
+    dstime, sw_cats, sw_temp = check_variables(inter)
+    assert sw_temp and sw_cats
+    tdim, _ = check_coordinates(dstime)
+    tyears, _ = _years_of(dstime["ts"].coords[tdim].values)
+    ts_flat, gd, gs = _flatten_cells(dstime["ts"], tdim)
+    bins = np.arange(2003, 2006)
+    yc = Coord(("years",), bins[:-1].astype(np.int64))
+    a = _block_ts_stats_device(Dataset(), dstime, "cats", tdim, tyears,
+                               ts_flat, gd, gs, bins, 2, yc, False)
+    b = _block_ts_stats_device(Dataset(), dstime, "cats", tdim, tyears,
+                               ts_flat, gd, gs, bins, 2, yc, False,
+                               cell_block=7)
+    for v in a.keys():
+        np.testing.assert_allclose(np.asarray(b[v].data),
+                                   np.asarray(a[v].data), rtol=1e-12,
+                                   equal_nan=True, err_msg=v)
+
+
 def test_global_scale_pipeline_compact(oisst_ts):
     """BASELINE config 5 shape at test scale: compact events layout ->
     device block stats -> rank, end to end on a larger grid."""

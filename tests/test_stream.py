@@ -10,7 +10,8 @@ import numpy as np
 import pytest
 
 import xmhw_tpu as xm
-from xmhw_tpu.stream import stream_detect, stream_threshold
+from xmhw_tpu.stream import (stream_block_average, stream_detect,
+                             stream_rank, stream_threshold)
 from xmhw_tpu.xrlite import Coord, DataArray, Dataset
 
 
@@ -180,6 +181,178 @@ def test_stream_detect_cold_spells_flip(tmp_path):
               "duration"):
         np.testing.assert_allclose(got[v].data, exp[v].data,
                                    atol=1e-9, equal_nan=True)
+
+
+def test_stream_threshold_anynans_matches_api(grid_file, tmp_path):
+    """anynans=True drops any-NaN cells in the streamed path exactly like
+    land_check does in the API path (cell (2,2) has a 4-day gap)."""
+    path, sst = grid_file
+    out = str(tmp_path / "clim_any.nc")
+    stream_threshold(path, "sst", out, dtype=np.float64, stripe=5,
+                     anynans=True)
+    got = xm.open_dataset(out)
+    exp = xm.threshold(sst, dtype=np.float64, anynans=True)
+    # the gap cell must be NaN in both
+    assert np.isnan(got["thresh"].data[:, 2, 2]).all()
+    for v in ("thresh", "seas"):
+        np.testing.assert_allclose(got[v].data, exp[v].data,
+                                   atol=1e-12, equal_nan=True)
+    assert ("1 NaN along time" in str(got.attrs["xmhw_parameters"]))
+
+
+def test_stream_detect_anynans_matches_api(grid_file, tmp_path):
+    path, sst = grid_file
+    clim_out = str(tmp_path / "clim_any2.nc")
+    stream_threshold(path, "sst", clim_out, dtype=np.float64)
+    mhw_out = str(tmp_path / "mhw_any.nc")
+    stream_detect(path, "sst", clim_out, mhw_out, dtype=np.float64,
+                  stripe=5, events_layout="union", anynans=True)
+    got = xm.open_dataset(mhw_out)
+    clim = xm.threshold(sst, dtype=np.float64)
+    exp = xm.detect(sst, clim["thresh"], clim["seas"], dtype=np.float64,
+                    anynans=True)
+    np.testing.assert_array_equal(got.coords["events"].values,
+                                  exp["event"].coords["events"].values)
+    # the gap cell (2,2) is dropped entirely under anynans
+    assert np.isnan(got["event"].data[:, 2, 2]).all()
+    for v in ("event", "duration", "intensity_max", "rate_onset"):
+        np.testing.assert_allclose(got[v].data, exp[v].data,
+                                   atol=1e-9, equal_nan=True)
+
+
+def test_stream_detect_maxpadlength_matches_api(grid_file, tmp_path):
+    """maxPadLength interpolation applies identically in the streamed
+    path (cell (2,2) has a 4-day interior gap that pads away)."""
+    path, sst = grid_file
+    clim_out = str(tmp_path / "clim_pad.nc")
+    stream_threshold(path, "sst", clim_out, dtype=np.float64,
+                     maxPadLength=5)
+    mhw_out = str(tmp_path / "mhw_pad.nc")
+    stream_detect(path, "sst", clim_out, mhw_out, dtype=np.float64,
+                  stripe=5, events_layout="union", maxPadLength=5)
+    got = xm.open_dataset(mhw_out)
+    clim = xm.threshold(sst, dtype=np.float64, maxPadLength=5)
+    exp = xm.detect(sst, clim["thresh"], clim["seas"], dtype=np.float64,
+                    maxPadLength=5)
+    for v in ("event", "duration", "intensity_max", "intensity_mean",
+              "rate_decline"):
+        np.testing.assert_allclose(got[v].data, exp[v].data,
+                                   atol=1e-9, equal_nan=True)
+
+
+def test_stream_detect_intermediate_matches_api(grid_file, tmp_path):
+    path, sst = grid_file
+    clim_out = str(tmp_path / "clim_i.nc")
+    stream_threshold(path, "sst", clim_out, dtype=np.float64)
+    mhw_out = str(tmp_path / "mhw_i.nc")
+    res = stream_detect(path, "sst", clim_out, mhw_out, dtype=np.float64,
+                        stripe=5, events_layout="union",
+                        intermediate=True)
+    assert isinstance(res, tuple)
+    out_path, inter_path = res
+    assert inter_path.endswith("_inter.nc")
+    got = xm.open_dataset(inter_path)
+    clim = xm.threshold(sst, dtype=np.float64)
+    _, exp = xm.detect(sst, clim["thresh"], clim["seas"],
+                       dtype=np.float64, intermediate=True)
+    assert got["ts"].dims == ("time", "lat", "lon")
+    for v in exp.keys():
+        e = np.asarray(exp[v].data, np.float64)
+        gv = np.asarray(got[v].data, np.float64)
+        fin = np.isfinite(e)
+        np.testing.assert_allclose(gv[fin], e[fin], atol=1e-9,
+                                   err_msg=v)
+        # land cells: NaN for float vars, 0 for the int8-encoded bools
+        assert (np.isnan(gv[~fin]) | (gv[~fin] == 0)).all(), v
+    # time coordinate round-trips (coord values may be a TimeIndex)
+    def _tv(c):
+        v = c.values
+        return np.asarray(getattr(v, "values", v))
+
+    np.testing.assert_array_equal(_tv(got["ts"].coords["time"]),
+                                  _tv(exp["ts"].coords["time"]))
+
+
+@pytest.fixture(scope="module")
+def stream_pipeline(grid_file, tmp_path_factory):
+    """clim + compact mhw files for the streamed stats-stage tests."""
+    path, sst = grid_file
+    d = tmp_path_factory.mktemp("streamstats")
+    clim_out = str(d / "clim.nc")
+    stream_threshold(path, "sst", clim_out, dtype=np.float64)
+    mhw_out = str(d / "mhw.nc")
+    stream_detect(path, "sst", clim_out, mhw_out, dtype=np.float64,
+                  stripe=5, events_layout="compact")
+    return path, sst, clim_out, mhw_out, d
+
+
+def _inmem_compact(sst):
+    clim = xm.threshold(sst, dtype=np.float64)
+    mhw = xm.detect(sst, clim["thresh"], clim["seas"], dtype=np.float64,
+                    events_layout="compact")
+    return clim, mhw
+
+
+def test_stream_block_average_events_only(stream_pipeline, tmp_path):
+    path, sst, clim_out, mhw_out, _ = stream_pipeline
+    out = str(tmp_path / "blk.nc")
+    stream_block_average(mhw_out, out, period=[2000, 2002], stripe=5)
+    got = xm.open_dataset(out)
+    _, mhw = _inmem_compact(sst)
+    exp = xm.block_average(mhw, period=[2000, 2002])
+    np.testing.assert_array_equal(got.coords["years"].values,
+                                  exp["ecount"].coords["years"].values)
+    for v in exp.keys():
+        np.testing.assert_allclose(got[v].data, exp[v].data, rtol=1e-9,
+                                   atol=1e-9, equal_nan=True, err_msg=v)
+
+
+def test_stream_block_average_with_ts_and_cats(stream_pipeline, tmp_path):
+    """Full streamed stats: event aggs + per-day ts stats + category-day
+    counts, vs the in-memory API fed the equivalent full-series dstime."""
+    path, sst, clim_out, mhw_out, _ = stream_pipeline
+    out = str(tmp_path / "blk_cats.nc")
+    stream_block_average(mhw_out, out, dstime_path=path,
+                         dstime_var="sst", clim_path=clim_out, stripe=5)
+    got = xm.open_dataset(out)
+    clim, mhw = _inmem_compact(sst)
+    # build the dstime the reference workflow would use: per-day ts +
+    # thresh/seas broadcast from the climatology (stats.py:225-231)
+    from xmhw_tpu.core.calendar import compute_doy
+    from xmhw_tpu.xrlite import TimeIndex
+
+    tvals = sst.coords["time"].values
+    ti = tvals if isinstance(tvals, TimeIndex) else TimeIndex(
+        np.asarray(tvals))
+    doy, _ = compute_doy(ti)
+    pos = np.searchsorted(np.asarray(clim["thresh"].coords["doy"].values),
+                          doy)
+    ds = Dataset()
+    ds["ts"] = sst
+    for v in ("thresh", "seas"):
+        ds[v] = DataArray(clim[v].data[pos], ("time", "lat", "lon"),
+                          dict(sst.coords))
+    exp = xm.block_average(mhw, dstime=ds)
+    assert set(got.keys()) >= set(exp.keys())
+    for v in exp.keys():
+        np.testing.assert_allclose(got[v].data, exp[v].data, rtol=1e-9,
+                                   atol=1e-9, equal_nan=True, err_msg=v)
+
+
+def test_stream_rank_matches_api(stream_pipeline, tmp_path):
+    path, sst, clim_out, mhw_out, _ = stream_pipeline
+    rp = str(tmp_path / "rank.nc")
+    rank_path, return_path = stream_rank(mhw_out, rp, stripe=5)
+    got_r = xm.open_dataset(rank_path)
+    got_p = xm.open_dataset(return_path)
+    _, mhw = _inmem_compact(sst)
+    exp_r, exp_p = xm.mhw_rank(mhw)
+    kmax = mhw["event"].sizes["ev"]
+    for v in exp_r.keys():
+        np.testing.assert_allclose(got_r[v].data[:kmax], exp_r[v].data,
+                                   rtol=1e-9, equal_nan=True, err_msg=v)
+        np.testing.assert_allclose(got_p[v].data[:kmax], exp_p[v].data,
+                                   rtol=1e-9, equal_nan=True, err_msg=v)
 
 
 def test_stream_detect_no_events(grid_file, tmp_path):

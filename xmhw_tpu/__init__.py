@@ -15,7 +15,8 @@ Public API (reference parity: README.rst:16-21):
 from .api import detect, flip_cold, land_check, threshold
 from .exception import XmhwException
 from .stats_api import block_average, mhw_rank
-from .stream import stream_detect, stream_threshold
+from .stream import (stream_block_average, stream_detect,
+                     stream_rank, stream_threshold)
 from .xrlite import (DataArray, Dataset, TimeIndex, open_dataset,
                      save_dataset)
 
@@ -33,7 +34,9 @@ __all__ = [
     "mhw_rank",
     "open_dataset",
     "save_dataset",
+    "stream_block_average",
     "stream_detect",
+    "stream_rank",
     "stream_threshold",
     "threshold",
     "__version__",

@@ -17,6 +17,7 @@ from .core.calendar import compute_doy, get_calendar
 from .core.pipeline import run_clim, run_detect
 from .exception import XmhwException
 from .xrlite import Coord, DataArray, Dataset, TimeIndex, unstack_cell
+from .xrlite.adapt import as_dataarray
 
 __all__ = ["threshold", "detect", "land_check"]
 
@@ -27,6 +28,7 @@ def land_check(temp, tdim="time", anynans=False):
     Reference: xmhw/identify.py:482-529. Raises on time-only input, on a
     zero-length dim, and when every cell is land.
     """
+    temp = as_dataarray(temp)
     dims = [d for d in temp.dims if d != tdim]
     if tdim not in temp.dims:
         raise XmhwException(f"{tdim} dimension not present")
@@ -122,6 +124,7 @@ def threshold(
       reference parity), ``cell_block`` (cells per device step), ``mesh``
       (jax.sharding.Mesh to shard cells over).
     """
+    temp = as_dataarray(temp)
     if smoothPercentileWidth % 2 == 0:
         raise XmhwException("smoothPercentileWidth should be odd")
     if tdim not in temp.dims:
@@ -300,6 +303,9 @@ def detect(
     reference identify.py:441). Default False treats day-0 runs like any
     other run (a deliberate fix; see core/events.py).
     """
+    temp = as_dataarray(temp)
+    th = as_dataarray(th)
+    se = as_dataarray(se)
     if maxGap >= minDuration:
         raise XmhwException(
             "Maximum gap between mhw events should"

@@ -145,11 +145,11 @@ def run_clim(ts_np: np.ndarray, doy_np: np.ndarray, w: int, ndoy: int,
 
             from ..parallel.mesh import CELL_AXIS
 
-            fn = shard_map(
+            fn = jax.jit(shard_map(
                 fn, mesh=runner.mesh,
                 in_specs=(P(None, CELL_AXIS), P(), P()),
                 out_specs=(P(None, CELL_AXIS), P(None, CELL_AXIS)),
-                check_vma=False)
+                check_vma=False))
         for lo in runner.blocks():
             ts = runner.device_block(ts_pad, lo)
             th, se = fn(ts, starts, lens)
@@ -215,13 +215,16 @@ def _round_k(k: int) -> int:
     return 1 << (k - 1).bit_length()
 
 
+@functools.lru_cache(maxsize=None)
 def _sharded_detect_kernel(mesh, **static_kw):
     """detect_kernel wrapped in shard_map for the Pallas-scan branch.
 
     The XLA branch auto-partitions under NamedSharding inputs with zero
     collectives, but pallas_call needs an explicit shard_map so each
     device runs the kernel on its local cell shard (same pattern as
-    run_clim's climatology kernel)."""
+    run_clim's climatology kernel). Cached per (mesh, statics) so the
+    per-block loop in run_detect reuses ONE wrapper (and its trace)
+    instead of rebuilding it every block."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -229,12 +232,12 @@ def _sharded_detect_kernel(mesh, **static_kw):
 
     fn = functools.partial(detect_kernel, **static_kw)
     cells2d = P(None, CELL_AXIS)
-    return shard_map(
+    return jax.jit(shard_map(
         fn, mesh=mesh,
         in_specs=(cells2d, cells2d, cells2d, P()),
         # (table dict, n_events, inter dict) — specs are tree prefixes
         out_specs=(cells2d, P(CELL_AXIS), cells2d),
-        check_vma=False)
+        check_vma=False))
 
 
 def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,

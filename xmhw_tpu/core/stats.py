@@ -75,6 +75,71 @@ def binned_event_stats(values, bin_idx, valid, nbins):
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("edges", "with_cats",
+                                             "count_nans"))
+def binned_day_stats(ts, cats, edges, with_cats=False, count_nans=False):
+    """Per-day year-block statistics on device: the other half of
+    block_average (reference: xmhw/stats.py:366-428 — agg_ts/agg_cats).
+
+    ts: (T, C) float; cats: (T, C) float (ignored unless ``with_cats``).
+    ``edges``: static tuple of nbins+1 time indexes — year blocks are
+    CONTIGUOUS runs of the time axis, so each block reduction is a
+    static slice + reduction (XLA fuses each into one pass over the
+    slice; no (nbins, T, C) broadcast, no scatters). Returns dict of
+    (nbins, C) arrays: ts_mean/ts_max/ts_min, plus
+    moderate/strong/severe/extreme/total_days with ``with_cats``, plus
+    nan_days with ``count_nans`` (for removeMissing masking).
+    """
+    dt = ts.dtype
+    nan = jnp.asarray(jnp.nan, dt)
+    names = ["ts_mean", "ts_max", "ts_min"]
+    if with_cats:
+        names += ["moderate_days", "strong_days", "severe_days",
+                  "extreme_days", "total_days"]
+    if count_nans:
+        names += ["nan_days"]
+    rows = {n: [] for n in names}
+    for i in range(len(edges) - 1):
+        seg = jax.lax.slice_in_dim(ts, edges[i], edges[i + 1], axis=0)
+        fin = jnp.isfinite(seg)
+        cnt = jnp.sum(fin, axis=0).astype(dt)
+        s = jnp.sum(jnp.where(fin, seg, 0), axis=0)
+        nz = cnt > 0
+        rows["ts_mean"].append(jnp.where(nz, s / jnp.maximum(cnt, 1), nan))
+        rows["ts_max"].append(jnp.where(
+            nz, jnp.max(jnp.where(fin, seg, -jnp.inf), axis=0), nan))
+        rows["ts_min"].append(jnp.where(
+            nz, jnp.min(jnp.where(fin, seg, jnp.inf), axis=0), nan))
+        if with_cats:
+            cseg = jax.lax.slice_in_dim(cats, edges[i], edges[i + 1],
+                                        axis=0)
+            total = jnp.zeros(ts.shape[1], dt)
+            for cat, cname in ((1, "moderate_days"), (2, "strong_days"),
+                               (3, "severe_days"), (4, "extreme_days")):
+                c = jnp.sum(cseg == cat, axis=0).astype(dt)
+                rows[cname].append(c)
+                total = total + c
+            rows["total_days"].append(total)
+        if count_nans:
+            rows["nan_days"].append(
+                (edges[i + 1] - edges[i]) - cnt)
+    return {n: jnp.stack(v) for n, v in rows.items()}
+
+
+def day_block_edges(tyears, bins):
+    """Static time-axis slice edges for ``binned_day_stats``.
+
+    tyears: (T,) host int years (monotone non-decreasing); bins: block
+    boundary years (left-closed). Days before bins[0] / after bins[-1]
+    fall outside every edge pair and are excluded, matching the host
+    path's in-range mask. Returns a hashable tuple of nbins+1 ints.
+    """
+    import numpy as np
+
+    return tuple(int(x) for x in np.searchsorted(tyears, bins,
+                                                 side="left"))
+
+
 @jax.jit
 def rank_events_desc(v, valid):
     """Ordinal descending rank over the event axis, on device.

@@ -31,6 +31,7 @@ import numpy as np
 
 from .exception import XmhwException
 from .xrlite import Coord, DataArray, Dataset, TimeIndex
+from .xrlite.adapt import as_dataarray, as_dataset
 
 __all__ = ["block_average", "check_coordinates", "check_variables",
            "mhw_rank", "rank_variable"]
@@ -79,10 +80,15 @@ def _years_of(values, attrs=None):
             ~np.isnat(vals)
     units = (attrs or {}).get("units")
     if units is not None and "since" in str(units):
+        from .xrlite import decode_cf_time
+
         cal = str((attrs or {}).get("calendar", "standard"))
         valid = np.isfinite(np.asarray(vals, np.float64))
         safe = np.where(valid, vals, 0.0).astype(np.float64)
-        ti = TimeIndex(safe.reshape(-1), calendar=cal, units=str(units))
+        # decode_cf_time maps standard-family calendars onto datetime64
+        # and synthetic calendars onto arithmetic decoding — raw offsets
+        # with calendar="standard" (streamed detect outputs) need this
+        ti = decode_cf_time(safe.reshape(-1), str(units), cal)
         return np.asarray(ti.year).reshape(vals.shape), valid
     return vals.astype(np.int64), np.isfinite(vals)
 
@@ -224,6 +230,10 @@ def block_average(
     kernel (core/stats.py) — the planet-scale path; results match the
     host path (tested). Ignored with ``reference_quirks``.
     """
+    mhw = as_dataset(mhw)
+    if dstime is not None and not isinstance(dstime, (Dataset, DataArray)):
+        dstime = (as_dataset(dstime) if hasattr(dstime, "data_vars")
+                  else as_dataarray(dstime))
     sw_temp = False
     sw_cats = False
     if dstime is not None:
@@ -291,7 +301,7 @@ def block_average(
                 np.asarray(arr).reshape((nbins,) + grid_shape),
                 ("years", *grid_dims), coords)
         return _block_ts_stats(out, dstime, sw_temp, sw_cats, bins, nbins,
-                               years_coord, removeMissing)
+                               years_coord, removeMissing, device=True)
     for oname, vname, how in _AGG_MHW:
         src = vname
         if reference_quirks and oname in ("intensity_mean_abs",
@@ -308,7 +318,7 @@ def block_average(
 
 
 def _block_ts_stats(out, dstime, sw_temp, sw_cats, bins, nbins,
-                    years_coord, removeMissing):
+                    years_coord, removeMissing, device=False):
     """Per-day ts / category block stats appended to ``out``."""
     if sw_temp:
         mode = "cats" if sw_cats else "ts"
@@ -316,6 +326,10 @@ def _block_ts_stats(out, dstime, sw_temp, sw_cats, bins, nbins,
         tyears, _ = _years_of(dstime["ts"].coords[tdim].values)
         ts_flat, ts_grid_dims, ts_grid_shape = _flatten_cells(
             dstime["ts"], tdim)
+        if device:
+            return _block_ts_stats_device(
+                out, dstime, mode, tdim, tyears, ts_flat, ts_grid_dims,
+                ts_grid_shape, bins, nbins, years_coord, removeMissing)
         dy_idx = np.searchsorted(bins, tyears, side="right") - 1
         dy_ok = (dy_idx >= 0) & (dy_idx < nbins)
         dy_idx2 = np.broadcast_to(
@@ -359,6 +373,53 @@ def _block_ts_stats(out, dstime, sw_temp, sw_cats, bins, nbins,
                     out[name] = da.copy(data=masked)
     return out
 
+
+
+def _block_ts_stats_device(out, dstime, mode, tdim, tyears, ts_flat,
+                           ts_grid_dims, ts_grid_shape, bins, nbins,
+                           years_coord, removeMissing,
+                           cell_block=1 << 16):
+    """Device per-day block stats: static-slice reductions per year block
+    (core/stats.py:binned_day_stats), cell-blocked for planet-scale
+    grids. Matches the host path (_block_ts_stats) for ts_mean/max/min
+    and the category day counts (summation-order tolerance) — tested."""
+    import jax.numpy as jnp
+
+    from .core.stats import binned_day_stats, day_block_edges
+
+    edges = day_block_edges(np.asarray(tyears), bins)
+    with_cats = mode == "cats"
+    cats_flat = (_flatten_cells(dstime["cats"], tdim)[0] if with_cats
+                 else None)
+    C = ts_flat.shape[1]
+    parts = {}
+    for lo in range(0, C, cell_block):
+        hi = min(lo + cell_block, C)
+        # f64 to match the host bincount accumulation (without x64 — the
+        # TPU planet-scale config — jnp silently keeps f32)
+        ts_b = jnp.asarray(ts_flat[:, lo:hi].astype(np.float64))
+        cats_b = (jnp.asarray(cats_flat[:, lo:hi].astype(np.float64))
+                  if with_cats else jnp.zeros_like(ts_b))
+        res = binned_day_stats(ts_b, cats_b, edges, with_cats=with_cats,
+                               count_nans=removeMissing)
+        for name, arr in res.items():
+            parts.setdefault(name, []).append(np.asarray(arr))
+    full = {name: np.concatenate(blocks, axis=1)
+            for name, blocks in parts.items()}
+    has_nan = full.pop("nan_days", None)
+    tcoords = {"years": years_coord}
+    for d in ts_grid_dims:
+        tcoords[d] = dstime["ts"].coords[d]
+    for name, arr in full.items():
+        out[name] = DataArray(
+            arr.astype(np.float64).reshape((nbins,) + tuple(ts_grid_shape)),
+            ("years", *ts_grid_dims), tcoords)
+    if removeMissing and has_nan is not None:
+        mask = (has_nan > 0).reshape((nbins,) + tuple(ts_grid_shape))
+        for name, da in out.items():
+            if da.dims[0] == "years" and name != "years":
+                out[name] = da.copy(data=np.where(mask, np.nan, da.data))
+    return out
 
 
 def _split_assignment(mhw, bins, flat_years):
@@ -437,6 +498,7 @@ def mhw_rank(mhwds, nYears=None, device=False, cell_block=65536):
     blocks (core/stats.py:rank_events_desc — exact same tie semantics),
     the planet-scale path.
     """
+    mhwds = as_dataset(mhwds)
     if nYears is None:
         try:
             y0, v0 = _years_of(mhwds["time_start"].data,

@@ -31,7 +31,8 @@ from .exception import XmhwException
 from .xrlite import TimeIndex, encode_cf_time
 from .xrlite.alloc import alloc_filled
 
-__all__ = ["stream_threshold", "stream_detect", "GridReader"]
+__all__ = ["stream_threshold", "stream_detect", "stream_block_average",
+           "stream_rank", "GridReader"]
 
 _TIME_LIKE = ("time_start", "time_end", "time_peak")
 
@@ -182,9 +183,13 @@ class _Writer:
         self.h.close()
 
 
-def _compact_ocean(block):
-    """Drop all-NaN (land) columns; returns (compacted, keep_idx)."""
-    keep = np.nonzero(~np.isnan(block).all(axis=0))[0]
+def _compact_ocean(block, anynans=False):
+    """Drop all-NaN (land) columns — or any-NaN columns with ``anynans``
+    (reference land_check: identify.py:522-525); returns
+    (compacted, keep_idx)."""
+    nan = np.isnan(block)
+    drop = nan.any(axis=0) if anynans else nan.all(axis=0)
+    keep = np.nonzero(~drop)[0]
     if keep.size == block.shape[1]:
         return block, keep
     return np.ascontiguousarray(block[:, keep]), keep
@@ -203,6 +208,7 @@ def stream_threshold(
     maxPadLength=None,
     coldSpells=False,
     tstep=False,
+    anynans=False,
     skipna=False,
     dtype=np.float32,
     stripe=None,
@@ -239,7 +245,7 @@ def stream_threshold(
         w = _Writer(out_path, dim_coords, global_attrs={
             "xmhw_parameters": threshold_params_attr(
                 pctile, tindex.year[0], tindex.year[-1], windowHalfWidth,
-                skipna, smoothPercentile, smoothPercentileWidth, False),
+                skipna, smoothPercentile, smoothPercentileWidth, anynans),
             "source": "xmhw_tpu stream_threshold",
         })
         units = g.attrs.get("units", "degree_C")
@@ -260,7 +266,7 @@ def stream_threshold(
         for lo in range(0, g.grid_shape[0], rows):
             hi = min(lo + rows, g.grid_shape[0])
             block = g.read(lo, hi, t_sel).astype(dtype, copy=False)
-            comp, keep = _compact_ocean(block)
+            comp, keep = _compact_ocean(block, anynans)
             c_str = (hi - lo) * row_cells
             th = se = None
             if keep.size:
@@ -305,6 +311,8 @@ def stream_detect(
     maxGap=2,
     maxPadLength=None,
     coldSpells=False,
+    intermediate=False,
+    anynans=False,
     tstep=False,
     dtype=np.float32,
     stripe=None,
@@ -313,6 +321,7 @@ def stream_detect(
     events_layout="compact",
     thresh_var="thresh",
     seas_var="seas",
+    inter_path=None,
     reference_quirks=False,
 ):
     """detect() streamed file-to-file.
@@ -331,11 +340,22 @@ def stream_detect(
     Same event semantics as :func:`xmhw_tpu.detect` including the
     coldSpells intensity flip (reference: xmhw/xmhw.py:310-518);
     returns the output path.
+
+    ``intermediate=True`` also writes the per-day intermediate dataset
+    (reference: xmhw/xmhw.py:471-478) to ``inter_path`` (default: the
+    output path with an ``_inter`` suffix), streamed stripe-by-stripe
+    during the detect pass; returns ``(out_path, inter_path)``. Boolean
+    per-day variables are stored as int8 (land cells 0); float variables
+    carry NaN on land like the in-memory API.
     """
     if maxGap >= minDuration:
         raise XmhwException(
             "Maximum gap between mhw events should"
             + " be smaller than event minimum duration")
+    if intermediate and inter_path is None:
+        inter_path = (out_path[:-3] + "_inter.nc"
+                      if out_path.endswith(".nc")
+                      else out_path + "_inter.nc")
     with GridReader(ts_path, var, lead_dim=tdim) as g, \
             GridReader(clim_path, thresh_var, lead_dim="doy") as gth, \
             GridReader(clim_path, seas_var, lead_dim="doy") as gse:
@@ -365,10 +385,12 @@ def stream_detect(
         stripes = []  # (lo, hi, keep, tables {name: (K_b, n_keep)})
         kmax = 1
         label_union = []
+        iw = None  # lazy intermediate writer (phase-A streamed)
+        inter_vars = {}
         for lo in range(0, g.grid_shape[0], rows):
             hi = min(lo + rows, g.grid_shape[0])
             block = g.read(lo, hi).astype(dtype, copy=False)
-            comp, keep = _compact_ocean(block)
+            comp, keep = _compact_ocean(block, anynans)
             if keep.size == 0:
                 stripes.append((lo, hi, keep, {}))
                 continue
@@ -380,10 +402,17 @@ def stream_detect(
                 comp = _interpolate_na(comp, maxPadLength)
             if coldSpells:
                 comp = -comp
-            tables, n_events, _ = run_detect(
+            tables, n_events, inter = run_detect(
                 comp, th, se, doy_pos, min_duration=minDuration,
                 join_gaps=joinGaps, max_gap=maxGap, block=cell_block,
-                mesh=mesh, day0_fillna_quirk=reference_quirks)
+                mesh=mesh, intermediate=intermediate,
+                day0_fillna_quirk=reference_quirks)
+            if intermediate:
+                if iw is None:
+                    iw, inter_vars = _make_inter_writer(
+                        inter_path, tindex, g, tdim, inter)
+                _write_inter_stripe(inter_vars, inter, lo, hi, keep, g,
+                                    row_cells, T)
             if coldSpells:
                 # flip_cold (reference: xmhw/features.py:298-315): cold
                 # spells report negated intensities, variances excluded
@@ -412,7 +441,7 @@ def stream_detect(
         w = _Writer(out_path, dim_coords, global_attrs={
             "xmhw_parameters": detect_params_attr(
                 minDuration, joinGaps, maxGap, coldSpells, maxPadLength,
-                False),
+                anynans),
             "source": "xmhw_tpu stream_detect",
         })
         some = next((s for s in stripes if s[3]), None)
@@ -465,4 +494,325 @@ def stream_detect(
                 out_vars[name][:, lo:hi] = view.reshape(
                     E, hi - lo, *g.grid_shape[1:])
         w.close()
+        if iw is not None:
+            iw.close()
+    if intermediate:
+        return out_path, inter_path
     return out_path
+
+
+def stream_block_average(
+    mhw_path,
+    out_path,
+    dstime_path=None,
+    dstime_var=None,
+    clim_path=None,
+    period=None,
+    blockLength=1,
+    mtime="time_start",
+    tdim="time",
+    removeMissing=False,
+    stripe=None,
+    thresh_var="thresh",
+    seas_var="seas",
+):
+    """block_average() streamed file-to-file — the stats stage of the
+    planet-scale pipeline (reference workflow: docs/gettingstarted.rst:
+    158-188, docs/block_average.rst:19-40; block_average itself:
+    stats.py:27-183).
+
+    ``mhw_path`` is a stream_detect output (compact ``ev`` or union
+    ``events`` layout). With ``dstime_path``/``dstime_var`` (the original
+    SST file) the per-day ts stats are added; with ``clim_path`` too, the
+    category-day counts (cats = floor(1+(ts-th)/(th-se)), reference
+    stats.py:225-231). Both halves run on device per stripe: event
+    aggregations via core/stats.binned_event_stats, per-day stats via
+    core/stats.binned_day_stats. Host memory stays O(stripe).
+    Returns the output path.
+    """
+    import jax.numpy as jnp
+
+    from .core.stats import (EVENT_AGGS, EVENT_VARS, binned_day_stats,
+                             binned_event_stats, day_block_edges)
+
+    with GridReader(mhw_path, "time_start") as gm:
+        ev_dim = gm.dims[0]
+        tattrs = {k: (v.decode() if isinstance(v, bytes) else v)
+                  for k, v in gm.attrs.items()}
+        gts = gth = gse = None
+        tindex = None
+        try:
+            if dstime_path is not None:
+                if dstime_var is None:
+                    raise XmhwException(
+                        "dstime_path requires dstime_var (the SST "
+                        "variable name)")
+                gts = GridReader(dstime_path, dstime_var, lead_dim=tdim)
+                if tuple(gts.grid_shape) != tuple(gm.grid_shape):
+                    raise XmhwException(
+                        f"dstime grid {gts.grid_shape} != mhw grid "
+                        f"{gm.grid_shape}")
+                tindex, _ = gts.coord(tdim)
+                tyears = np.asarray(tindex.year)
+                period = [int(tyears[0]), int(tyears[-1])]
+                if clim_path is not None:
+                    gth = GridReader(clim_path, thresh_var,
+                                     lead_dim="doy")
+                    gse = GridReader(clim_path, seas_var, lead_dim="doy")
+                    th_doys, _ = gth.coord("doy")
+                    doy, _ = compute_doy(tindex)
+                    pos = np.searchsorted(th_doys, doy)
+                    bad = (pos >= len(th_doys)) | (
+                        th_doys[np.clip(pos, 0, len(th_doys) - 1)] != doy)
+                    if bad.any():
+                        raise XmhwException(
+                            "Climatology doy axis does not cover the "
+                            "timeseries doys")
+                    doy_pos = jnp.asarray(pos.astype(np.int32))
+            elif removeMissing:
+                raise XmhwException(
+                    "To remove missing values you need to pass "
+                    "the original temperature timeseries")
+            if not period:
+                raise XmhwException(
+                    "As the original timeseries is not available, the"
+                    " timeseries period as [start_year, end_year] has to"
+                    " be passed")
+            bins = np.arange(period[0], period[1] + blockLength + 1,
+                             blockLength)
+            nbins = len(bins) - 1
+            edges = (day_block_edges(tyears, bins)
+                     if gts is not None else None)
+
+            K = gm.v.shape[0]
+            T = gts.v.shape[0] if gts is not None else 0
+            rows = stripe or _auto_stripe(max(T, K * 16), gm.grid_shape)
+            row_cells = int(np.prod(gm.grid_shape[1:],
+                                    dtype=np.int64)) or 1
+
+            dim_coords = {"years": (bins[:-1].astype(np.int64),
+                                    {"long_name": "start year of block",
+                                     "block_length": blockLength})}
+            for d in gm.grid_dims:
+                dim_coords[d] = gm.coord(d)
+            w = _Writer(out_path, dim_coords, global_attrs={
+                "source": "xmhw_tpu stream_block_average"})
+            evr = {v: GridReader(mhw_path, v) for v in EVENT_VARS}
+            out_names = [n for n, _, _ in EVENT_AGGS]
+            if gts is not None:
+                out_names += ["ts_mean", "ts_max", "ts_min"]
+                if gth is not None:
+                    out_names += ["moderate_days", "strong_days",
+                                  "severe_days", "extreme_days",
+                                  "total_days"]
+            out_vars = {n: w.create(n, ("years", *gm.grid_dims), "f8")
+                        for n in out_names}
+            buf = alloc_filled((nbins, rows * row_cells), np.nan,
+                               np.float64)
+            for lo in range(0, gm.grid_shape[0], rows):
+                hi = min(lo + rows, gm.grid_shape[0])
+                c_str = (hi - lo) * row_cells
+                res = {}
+                # ---- event-table half --------------------------------
+                t0 = gm.read(lo, hi)
+                ev_years, ev_valid = _years_of_cf(t0, tattrs)
+                bin_idx = np.searchsorted(bins, ev_years,
+                                          side="right") - 1
+                in_range = (bin_idx >= 0) & (bin_idx < nbins)
+                bin_idx = np.clip(bin_idx, 0, nbins - 1)
+                # f64 host-side; jnp keeps f32 when x64 is off (TPU)
+                vals = np.stack([evr[v].read(lo, hi)
+                                 for v in EVENT_VARS]).astype(np.float64)
+                dev = binned_event_stats(
+                    jnp.asarray(vals),
+                    jnp.asarray(bin_idx.astype(np.int32)),
+                    jnp.asarray(ev_valid & in_range), nbins)
+                res.update({k: np.asarray(v) for k, v in dev.items()})
+                # ---- per-day half ------------------------------------
+                if gts is not None:
+                    ts_b = jnp.asarray(
+                        gts.read(lo, hi).astype(np.float64))
+                    if gth is not None:
+                        th_b = jnp.asarray(
+                            gth.read(lo, hi).astype(np.float64))
+                        se_b = jnp.asarray(
+                            gse.read(lo, hi).astype(np.float64))
+                        cats_b = _cats_kernel(ts_b, th_b, se_b, doy_pos)
+                    else:
+                        cats_b = jnp.zeros_like(ts_b)
+                    day = binned_day_stats(
+                        ts_b, cats_b, edges, with_cats=gth is not None,
+                        count_nans=removeMissing)
+                    nan_days = (np.asarray(day.pop("nan_days"))
+                                if removeMissing else None)
+                    res.update({k: np.asarray(v)
+                                for k, v in day.items()})
+                    if nan_days is not None:
+                        mask = nan_days > 0
+                        res = {k: np.where(mask, np.nan, v)
+                               for k, v in res.items()}
+                for name in out_names:
+                    view = buf[:, :c_str]
+                    view[...] = res[name]
+                    out_vars[name][:, lo:hi] = view.reshape(
+                        nbins, hi - lo, *gm.grid_shape[1:])
+            for r in evr.values():
+                r.close()
+            w.close()
+        finally:
+            for r in (gts, gth, gse):
+                if r is not None:
+                    r.close()
+    return out_path
+
+
+def _years_of_cf(vals, attrs):
+    """Years + validity of CF-encoded (or datetime64) event times."""
+    from .stats_api import _years_of
+
+    return _years_of(vals, attrs)
+
+
+def _record_nyears(t0, t1, attrs):
+    """Record length in years from CF-encoded time_start/time_end,
+    matching mhw_rank's derivation exactly (day span / 365.25 for
+    datetime-family calendars, integer year span for synthetic)."""
+    from .xrlite.timeutils import normalize_calendar, parse_cf_units
+
+    units = str(attrs.get("units", ""))
+    cal = normalize_calendar(str(attrs.get("calendar", "standard")))
+    v0 = np.isfinite(np.asarray(t0, np.float64))
+    v1 = np.isfinite(np.asarray(t1, np.float64))
+    if not (v0.any() and v1.any()):
+        return 14245 / 365.25  # reference fallback (stats.py:477-478)
+    if cal in ("standard", "gregorian", "proleptic_gregorian", "") \
+            and "since" in units:
+        step_s, _ = parse_cf_units(units)
+        span_days = float(np.asarray(t1)[v1].max()
+                          - np.asarray(t0)[v0].min()) * step_s / 86400.0
+        return span_days / 365.25
+    y0, w0 = _years_of_cf(np.asarray(t0), attrs)
+    y1, w1 = _years_of_cf(np.asarray(t1), attrs)
+    return float(y1[w1].max() - y0[w0].min() + 1)
+
+
+def _cats_kernel(ts, th, se, doy_pos):
+    """Per-day category series on device
+    (cats = floor(1+(ts-th)/(th-se)), reference stats.py:225-231)."""
+    import jax
+
+    @jax.jit
+    def k(ts, th, se, doy_pos):
+        import jax.numpy as jnp
+
+        tht = th[doy_pos]
+        set_ = se[doy_pos]
+        return jnp.floor(1 + (ts - tht) / (tht - set_))
+
+    return k(ts, th, se, doy_pos)
+
+
+def stream_rank(
+    mhw_path,
+    rank_path,
+    return_path=None,
+    nYears=None,
+    stripe=None,
+):
+    """mhw_rank() streamed file-to-file (reference: stats.py:446-490).
+
+    Reads a stream_detect output (compact or union layout), ranks every
+    event property per cell on device (core/stats.rank_events_desc —
+    identical tie semantics to the reference's double argsort) and
+    writes the ranks to ``rank_path`` and the return periods
+    ``(nYears+1)/rank`` to ``return_path`` (default: rank_path with a
+    ``_return`` suffix). ``nYears`` defaults to the record span derived
+    from time_start/time_end like :func:`xmhw_tpu.mhw_rank`.
+    Returns (rank_path, return_path).
+    """
+    import h5py
+    import jax.numpy as jnp
+
+    from .core.stats import rank_events_desc
+
+    if return_path is None:
+        return_path = (rank_path[:-3] + "_return.nc"
+                       if rank_path.endswith(".nc")
+                       else rank_path + "_return.nc")
+    with h5py.File(mhw_path, "r") as f:
+        gm = GridReader(mhw_path, "time_start")
+        ev_dim = gm.dims[0]
+        variables = [
+            k for k in f.keys()
+            if isinstance(f[k], h5py.Dataset)
+            and f[k].ndim == gm.v.ndim and f[k].shape == gm.v.shape
+            and not any(x in k for x in ("event", "time", "index"))
+            and k not in gm.grid_dims and k != ev_dim
+        ]
+        if nYears is None:
+            tattrs = {k: (v.decode() if isinstance(v, bytes) else v)
+                      for k, v in gm.attrs.items()}
+            g1 = GridReader(mhw_path, "time_end")
+            nYears = _record_nyears(gm.v[()], g1.v[()], tattrs)
+            g1.close()
+        dim_coords = {ev_dim: gm.coord(ev_dim)}
+        for d in gm.grid_dims:
+            dim_coords[d] = gm.coord(d)
+        rows = stripe or _auto_stripe(gm.v.shape[0] * 16, gm.grid_shape)
+        row_cells = int(np.prod(gm.grid_shape[1:], dtype=np.int64)) or 1
+        K = gm.v.shape[0]
+        wr = _Writer(rank_path, dim_coords, global_attrs={
+            "source": "xmhw_tpu stream_rank", "nYears": nYears})
+        wp = _Writer(return_path, dim_coords, global_attrs={
+            "source": "xmhw_tpu stream_rank return periods",
+            "nYears": nYears})
+        rvars = {v: wr.create(v, (ev_dim, *gm.grid_dims), "f8")
+                 for v in variables}
+        pvars = {v: wp.create(v, (ev_dim, *gm.grid_dims), "f8")
+                 for v in variables}
+        for lo in range(0, gm.grid_shape[0], rows):
+            hi = min(lo + rows, gm.grid_shape[0])
+            for v in variables:
+                blk = np.asarray(f[v][(slice(None), slice(lo, hi))],
+                                 np.float64).reshape(K, -1)
+                r = np.asarray(rank_events_desc(
+                    jnp.asarray(blk), jnp.ones(blk.shape, bool)))
+                shape = (K, hi - lo, *gm.grid_shape[1:])
+                rvars[v][:, lo:hi] = r.reshape(shape)
+                pvars[v][:, lo:hi] = ((nYears + 1) / r).reshape(shape)
+        wr.close()
+        wp.close()
+        gm.close()
+    return rank_path, return_path
+
+
+def _make_inter_writer(inter_path, tindex, g, tdim, inter):
+    """Writer + variables for the per-day intermediate file."""
+    dim_coords = {tdim: (tindex, dict(getattr(tindex, "attrs", {})))}
+    for d in g.grid_dims:
+        dim_coords[d] = g.coord(d)
+    iw = _Writer(inter_path, dim_coords, global_attrs={
+        "source": "xmhw_tpu stream_detect intermediate"})
+    inter_vars = {}
+    for name, arr in inter.items():
+        if arr.dtype == bool:
+            inter_vars[name] = iw.create(
+                name, (tdim, *g.grid_dims), "i1",
+                {"dtype_note": "boolean stored as int8"}, fill=0)
+        else:
+            inter_vars[name] = iw.create(
+                name, (tdim, *g.grid_dims), np.dtype(arr.dtype).str)
+    return iw, inter_vars
+
+
+def _write_inter_stripe(inter_vars, inter, lo, hi, keep, g, row_cells, T):
+    c_str = (hi - lo) * row_cells
+    for name, arr in inter.items():
+        if arr.dtype == bool:
+            full = np.zeros((T, c_str), np.int8)
+            full[:, keep] = arr
+        else:
+            full = np.full((T, c_str), np.nan, arr.dtype)
+            full[:, keep] = arr
+        inter_vars[name][:, lo:hi] = full.reshape(
+            T, hi - lo, *g.grid_shape[1:])

@@ -1,5 +1,6 @@
 """Lightweight labeled-array + NetCDF shell (xarray/cftime replacement)."""
 
+from .adapt import as_dataarray, as_dataset
 from .dataarray import Coord, DataArray, Dataset, unstack_cell
 from .netcdf import open_dataset, save_dataset
 from .timeutils import (
@@ -12,6 +13,8 @@ from .timeutils import (
 
 __all__ = [
     "Coord",
+    "as_dataarray",
+    "as_dataset",
     "DataArray",
     "Dataset",
     "TimeIndex",

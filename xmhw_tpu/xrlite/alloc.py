@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import ctypes
 import mmap as _mmap
+import threading
 import weakref
 
 import numpy as np
@@ -49,6 +50,10 @@ except OSError:  # non-glibc platform
 
 _pool: list[tuple[int, _mmap.mmap]] = []  # (size, region) free list
 _pool_bytes = 0
+# finalizers fire during GC on ANY thread; h5py / user threads also
+# allocate — all free-list mutation goes through this lock (cheap next
+# to the mmap/madvise syscalls it guards)
+_pool_lock = threading.Lock()
 
 
 def _advise_hugepage(buf: _mmap.mmap, nbytes: int) -> None:
@@ -63,15 +68,16 @@ def _take_region(nbytes: int) -> tuple[int, _mmap.mmap]:
     """Smallest cached region that fits without gross waste, or a new
     huge-page-advised anonymous mapping."""
     global _pool_bytes
-    best = -1
-    for i, (sz, _) in enumerate(_pool):
-        if nbytes <= sz <= nbytes * _WASTE and (
-                best < 0 or sz < _pool[best][0]):
-            best = i
-    if best >= 0:
-        ent = _pool.pop(best)
-        _pool_bytes -= ent[0]
-        return ent
+    with _pool_lock:
+        best = -1
+        for i, (sz, _) in enumerate(_pool):
+            if nbytes <= sz <= nbytes * _WASTE and (
+                    best < 0 or sz < _pool[best][0]):
+                best = i
+        if best >= 0:
+            ent = _pool.pop(best)
+            _pool_bytes -= ent[0]
+            return ent
     buf = _mmap.mmap(-1, nbytes)
     _advise_hugepage(buf, nbytes)
     return nbytes, buf
@@ -79,17 +85,22 @@ def _take_region(nbytes: int) -> tuple[int, _mmap.mmap]:
 
 def _release_region(size: int, buf: _mmap.mmap) -> None:
     global _pool_bytes
-    _pool.append((size, buf))
-    _pool_bytes += size
-    while _pool_bytes > _POOL_CAP and _pool:
-        sz, old = _pool.pop(0)
-        _pool_bytes -= sz
+    stale = []
+    with _pool_lock:
+        _pool.append((size, buf))
+        _pool_bytes += size
+        while _pool_bytes > _POOL_CAP and _pool:
+            sz, old = _pool.pop(0)
+            _pool_bytes -= sz
+            stale.append(old)
+    for old in stale:  # close() outside the lock (munmap syscall)
         old.close()
 
 
 def pool_stats() -> dict:
     """Cached-region accounting (observability/tests)."""
-    return {"regions": len(_pool), "bytes": _pool_bytes}
+    with _pool_lock:
+        return {"regions": len(_pool), "bytes": _pool_bytes}
 
 
 def alloc_empty(shape, dtype) -> np.ndarray:

@@ -224,7 +224,13 @@ class DataArray:
                 continue
             if isinstance(label, slice):
                 start, stop = label.start, label.stop
+                # non-datetime coords: xarray label slices are stop-INCLUSIVE,
+                # so an exact-match stop label must be kept (side="right").
+                # Datetime stops are pre-incremented to the next period start
+                # below, so side="left" is the inclusive choice there.
+                stop_side = "right"
                 if np.issubdtype(np.asarray(vals).dtype, np.datetime64):
+                    stop_side = "left"
                     start = None if start is None else np.datetime64(start)
                     if stop is not None:
                         # like xarray, a partial date string selects through
@@ -248,7 +254,7 @@ class DataArray:
                     lo = 0 if start is None else int(
                         np.searchsorted(va, start, side="left"))
                     hi = len(va) if stop is None else int(
-                        np.searchsorted(va, stop, side="left"))
+                        np.searchsorted(va, stop, side=stop_side))
                     iidx[dim] = slice(lo, hi)
             else:
                 if np.issubdtype(np.asarray(vals).dtype, np.datetime64):
