@@ -119,6 +119,82 @@ def test_fused_detect_scans_kernel():
             err_msg=k)
 
 
+def test_doy_clim_batched_bit_equal(window_tables):
+    """G-doy batched clim kernel == single-doy kernel, bit for bit
+    (same per-doy arithmetic, only the loop structure changes)."""
+    import jax.numpy as jnp
+
+    from xmhw_tpu.ops.pallas.doy_quantile import pallas_doy_clim
+
+    T, doy, ndoy, _gidx, starts, lens, ny, rmax = window_tables
+    rng = np.random.default_rng(1)
+    ts = (15 + rng.normal(0, 2, (T, 128))).astype(np.float32)
+    ts[30:90, 7] = np.nan
+    tsp = jnp.pad(jnp.asarray(ts), ((0, rmax), (0, 0)),
+                  constant_values=jnp.nan)
+    s = jnp.asarray(np.asarray(starts).reshape(-1))
+    ln = jnp.asarray(np.asarray(lens).reshape(-1))
+    th0, se0 = pallas_doy_clim(tsp, s, ln, ndoy=ndoy, ny=ny, rmax=rmax,
+                               interpret=True, batch=0)
+    for G in (4, 8):
+        th1, se1 = pallas_doy_clim(tsp, s, ln, ndoy=ndoy, ny=ny,
+                                   rmax=rmax, interpret=True, batch=G)
+        for a, b in ((th0, th1), (se0, se1)):
+            np.testing.assert_array_equal(
+                np.nan_to_num(np.asarray(a), nan=-9e9),
+                np.nan_to_num(np.asarray(b), nan=-9e9))
+
+
+def test_detect_scan_checkpoint_mode_matches_full():
+    """sb-checkpoint kernel + XLA recombination == full-write kernel.
+
+    The checkpoint path (pallas_sb) writes only every 16th scan state
+    row and reconstructs event-end states from the raw series; events
+    are engineered to end mid-sub-block, at sub-block boundaries, and
+    to span many sub-blocks, with several events inside one sub-block.
+    """
+    import jax.numpy as jnp
+
+    from xmhw_tpu.core import features_scan as F2
+
+    rng = np.random.default_rng(11)
+    T, C, D = 700, 128, 40
+    doy_pos = (np.arange(T) % D).astype(np.int32)
+    th = np.full((D, C), 16.0, np.float32)
+    se = np.full((D, C), 15.0, np.float32)
+    ts = np.full((T, C), 15.0, np.float32)
+    # cell 0: one long event spanning several 16-row sub-blocks
+    ts[100:180, 0] = 17 + rng.normal(0, .3, 80)
+    # cell 1: short events with 3-day gaps packed into few sub-blocks
+    for s in range(200, 260, 9):
+        ts[s:s + 6, 1] = 17.0
+    # cell 2: event ending exactly at a sub-block boundary (row 15)
+    ts[5:16, 2] = 17.5
+    # cell 3: event ending at row 16 (first row of next sub-block)
+    ts[5:17, 3] = 17.5
+    # remaining cells: random walks with NaN holes
+    ts[:, 4:] = (16 + np.cumsum(rng.normal(0, .5, (T, C - 4)), 0) * .2
+                 ).astype(np.float32)
+    ts[300:310, 10] = np.nan
+    args = (jnp.asarray(ts), jnp.asarray(th), jnp.asarray(se),
+            jnp.asarray(doy_pos))
+    full, nf, _ = F2.detect_kernel(*args, K=64, use_pallas_scan=True,
+                                   pallas_interpret=True, pallas_sb=0)
+    ck, nc, _ = F2.detect_kernel(*args, K=64, use_pallas_scan=True,
+                                 pallas_interpret=True, pallas_sb=16)
+    np.testing.assert_array_equal(np.asarray(nf), np.asarray(nc))
+    for k in full:
+        x = np.asarray(full[k], np.float64)
+        y = np.asarray(ck[k], np.float64)
+        m = np.isfinite(x)
+        assert (m == np.isfinite(y)).all(), k
+        # f32 sum association differs between the in-kernel tree scan
+        # and the XLA mini-scan; the variance's (ss - n*mean^2)
+        # cancellation amplifies the ulp difference
+        np.testing.assert_allclose(x[m], y[m], rtol=1e-3, atol=1e-5,
+                                   err_msg=k)
+
+
 def test_pallas_rle_filter_matches_xla():
     """Streaming-RLE mhw_filter (interpret) == XLA cummax/cummin path,
     bit-for-bit, across random masks, quirk mode, and join settings."""

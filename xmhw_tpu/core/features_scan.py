@@ -40,15 +40,180 @@ from .events import mhw_filter
 _I32 = jnp.int32
 
 
+def _ckpt_comb(a, b, np_=17):
+    """The fused-scan combine (ops/pallas/detect_scan.py:_kernel comb),
+    replicated in XLA for checkpoint recombination. ``a``/``b`` are
+    state tuples: np_ sums + (v, i, prt, pma, sv, ct, ff, vff, lf, vlf,
+    fa, vfa, la, vla, reset)."""
+    ar, br = a[-1], b[-1]
+    brb = br != 0
+    out_sums = tuple(jnp.where(brb, bv, av + bv)
+                     for av, bv in zip(a[:np_], b[:np_]))
+    (av, ai, aprt, apma, asv, act, aff, avff, alf, avlf, afa, avfa,
+     ala, avla) = a[np_:np_ + 14]
+    (bv, bi, bprt, bpma, bsv, bct, bff, bvff, blf, bvlf, bfa, bvfa,
+     bla, bvla) = b[np_:np_ + 14]
+    tb = brb | (bv > av)
+    a_first = aff <= bff
+    a_first2 = afa <= bfa
+    return out_sums + (
+        jnp.where(tb, bv, av), jnp.where(tb, bi, ai),
+        jnp.where(tb, bprt, aprt), jnp.where(tb, bpma, apma),
+        jnp.where(brb, bsv, jnp.maximum(asv, bsv)),
+        jnp.where(brb, bct, jnp.maximum(act, bct)),
+        jnp.where(brb, bff, jnp.minimum(aff, bff)),
+        jnp.where(brb, bvff, jnp.where(a_first, avff, bvff)),
+        jnp.where(brb, blf, jnp.maximum(alf, blf)),
+        jnp.where(brb, bvlf, jnp.where(blf >= alf, bvlf, avlf)),
+        jnp.where(brb, bfa, jnp.minimum(afa, bfa)),
+        jnp.where(brb, bvfa, jnp.where(a_first2, avfa, bvfa)),
+        jnp.where(brb, bla, jnp.maximum(ala, bla)),
+        jnp.where(brb, bvla, jnp.where(bla >= ala, bvla, avla)),
+        ar | br,
+    )
+
+
+def _ckpt_recombine(CK, end_pos, ts, thresh_t, seas_t, anom_plus,
+                    anom_minus, day, is_start, shifts4, sb, T):
+    """Reconstruct the fused-scan state at each event end row from
+    sub-block checkpoints + the raw series.
+
+    ``CK`` (Tp/sb, 31, C) int32 holds the scan state at every sb-th row
+    (ops/pallas/detect_scan.py sb mode). For an end row e in sub-block
+    i = e // sb, state(e) = comb(CK[i-1], mini_scan(rows i*sb .. e)) —
+    the mini scan recomputes the carriers from the (T, C) inputs already
+    in HBM (7 small gathers of K*sb rows), so the kernel never writes
+    the full (Tp, 31, C) array. Returns (K, 31, C) int32 in the same
+    channel layout as a direct boundary gather.
+    """
+    K, C = end_pos.shape
+    nan = jnp.float32(jnp.nan)
+    neg = jnp.float32(-jnp.inf)
+    bigi = _I32(4 * T + 64)
+    a_rs, a_rt, a_sv, a_ma = shifts4
+
+    sbi = end_pos // sb
+    off = end_pos % sb
+
+    # ---- carry: previous checkpoint (or scan-initial state) -------------
+    Gc = jnp.take_along_axis(CK, jnp.maximum(sbi - 1, 0)[:, None, :],
+                             axis=0)  # (K, 31, C)
+    hasc = (sbi > 0)[:, None, :]
+
+    def cf(i, init):  # float channel with initial fallback
+        v = lax.bitcast_convert_type(Gc[:, i, :], jnp.float32)
+        return jnp.where(hasc[:, 0, :], v, init)
+
+    def ci(i, init):  # int channel
+        return jnp.where(hasc[:, 0, :], Gc[:, i, :], init)
+
+    carry = tuple(cf(i, jnp.float32(0.0)) for i in range(17)) + (
+        cf(17, neg), ci(20, _I32(0)), cf(29, nan), cf(30, nan),
+        cf(18, neg), cf(19, neg), ci(21, bigi), cf(25, nan),
+        ci(22, _I32(-1)), cf(26, nan), ci(23, bigi), cf(27, nan),
+        ci(24, _I32(-1)), cf(28, nan),
+        jnp.zeros((K, C), _I32),  # carry reset value is never read
+    )
+
+    # ---- mini carriers from the raw series ------------------------------
+    o = jnp.arange(sb, dtype=_I32)
+    rows = jnp.minimum(sbi[:, None, :] * sb + o[None, :, None],
+                       T - 1)  # (K, sb, C); rows past off are not read
+    rows2 = rows.reshape(K * sb, C)
+
+    def g(x, dtype=None):
+        out = jnp.take_along_axis(x, rows2, axis=0).reshape(K, sb, C)
+        return out if dtype is None else out.astype(dtype)
+
+    tsg = g(ts, jnp.float32)
+    thg = g(thresh_t, jnp.float32)
+    seg = g(seas_t, jnp.float32)
+    apg = g(anom_plus, jnp.float32)
+    amg = g(anom_minus, jnp.float32)
+    dayg = g(day.astype(jnp.int8)) != 0
+    sttg = g(is_start.astype(jnp.int8)) != 0
+    idx = rows
+
+    relSeas = jnp.where(dayg, tsg - seg, nan)
+    relThresh = jnp.where(dayg, tsg - thg, nan)
+    th_se = thg - seg
+    relTN = jnp.where(dayg, relThresh / th_se, nan)
+    severity = jnp.where(dayg, relSeas / -th_se, nan)
+    cats = jnp.floor(1.0 + relTN)
+    mabs = jnp.where(dayg, tsg, nan)
+    fin_rs = jnp.isfinite(relSeas)
+    fin_rt = jnp.isfinite(relThresh)
+    fin_sv = jnp.isfinite(severity)
+    fin_ma = jnp.isfinite(mabs)
+    fin_ct = jnp.isfinite(cats)
+
+    def sh(fin, x, a):
+        return jnp.where(fin, x - a.astype(jnp.float32)[None, None, :],
+                         0.0)
+
+    xs_rs = sh(fin_rs, relSeas, a_rs[0])
+    xs_rt = sh(fin_rt, relThresh, a_rt[0])
+    xs_sv = sh(fin_sv, severity, a_sv[0])
+    xs_ma = sh(fin_ma, mabs, a_ma[0])
+
+    apd = jnp.where(dayg, apg, nan)
+    amd = jnp.where(dayg, amg, nan)
+    f32 = jnp.float32
+    state = (
+        fin_rs.astype(f32), xs_rs, xs_rs * xs_rs,
+        fin_rt.astype(f32), xs_rt, xs_rt * xs_rt,
+        fin_sv.astype(f32), xs_sv, xs_sv * xs_sv,
+        fin_ma.astype(f32), xs_ma, xs_ma * xs_ma,
+        jnp.where(cats == 1.0, 1.0, 0.0).astype(f32),
+        jnp.where(cats == 2.0, 1.0, 0.0).astype(f32),
+        jnp.where(cats == 3.0, 1.0, 0.0).astype(f32),
+        jnp.where(cats >= 4.0, 1.0, 0.0).astype(f32),
+        fin_ct.astype(f32),
+        jnp.where(fin_rs, relSeas, neg),
+        idx,
+        relThresh,
+        mabs,
+        jnp.where(fin_sv, severity, neg),
+        jnp.where(fin_ct, cats, neg),
+        jnp.where(fin_rs, idx, bigi),
+        relSeas,
+        jnp.where(fin_rs, idx, _I32(-1)),
+        relSeas,
+        jnp.where(jnp.isfinite(apd), idx, bigi),
+        apd,
+        jnp.where(jnp.isfinite(amd), idx, _I32(-1)),
+        amd,
+        sttg.astype(_I32),
+    )
+    mini = lax.associative_scan(_ckpt_comb, state, axis=1)
+    picked = tuple(
+        jnp.take_along_axis(x, off[:, None, :], axis=1)[:, 0, :]
+        for x in mini)
+    out = _ckpt_comb(carry, picked)
+
+    def bc(x):
+        return lax.bitcast_convert_type(x, _I32)
+
+    msums = out[:17]
+    (mv, mi, mprt, mpma, msv, mct, mff, mvff, mlf, mvlf, mfa, mvfa,
+     mla, mvla, _) = out[17:]
+    return jnp.stack(
+        [bc(x) for x in msums]
+        + [bc(mv), bc(msv), bc(mct), mi, mff, mlf, mfa, mla,
+           bc(mvff), bc(mvlf), bc(mvfa), bc(mvla), bc(mprt), bc(mpma)],
+        axis=1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("K", "min_duration", "join_gaps", "max_gap",
                      "intermediate", "use_pallas_scan", "pallas_interpret",
-                     "day0_fillna_quirk"),
+                     "day0_fillna_quirk", "pallas_sb"),
 )
 def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
                   max_gap=2, intermediate=False, use_pallas_scan=False,
-                  pallas_interpret=False, day0_fillna_quirk=False):
+                  pallas_interpret=False, day0_fillna_quirk=False,
+                  pallas_sb=0):
     """Scan-based detection pipeline; same contract as
     features.detect_kernel (see that docstring for parameters).
 
@@ -172,15 +337,35 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
         from ..ops.pallas.detect_scan import fused_detect_scans
 
         shifts = jnp.concatenate([a_rs, a_rt, a_sv, a_ma], axis=0)
-        S31 = fused_detect_scans(
-            ts, thresh_t, seas_t, anom_plus, anom_minus, day, is_start,
-            shifts, interpret=pallas_interpret)
-        # the segmented-sum value at an event's end row IS the event
-        # total, and the min/max/argmax channels plus their value
-        # payloads ride the same array: ONE boundary gather serves all
-        # 31 channels — no (T, C) series is ever gathered at event
-        # positions on this path
-        G31 = jnp.take_along_axis(S31, end_pos[:, None, :], axis=0)
+        if pallas_sb:
+            # checkpoint mode: the kernel writes only every sb-th state
+            # row ((Tp/sb, 31, C) instead of (Tp, 31, C)); the state at
+            # each event end is recombined from the checkpoint before
+            # its sub-block plus a mini-scan over the raw series rows.
+            # MEASURED SLOWER on v5e (sb=8: 754 ms vs 90 ms/4096-cell
+            # block): the (K*sb, C) row gathers and the 31-carrier XLA
+            # tuple scan cost far more than the saved write — XLA TPU
+            # gathers run ~2.6 GB/s vs the kernel's ~196 GB/s stores.
+            # Kept (correct, tested) as the recombination blueprint for
+            # a future in-kernel compaction; default stays 0.
+            CK = fused_detect_scans(
+                ts, thresh_t, seas_t, anom_plus, anom_minus, day,
+                is_start, shifts, interpret=pallas_interpret,
+                sb=pallas_sb)
+            G31 = _ckpt_recombine(
+                CK, end_pos, ts, thresh_t, seas_t, anom_plus,
+                anom_minus, day, is_start, (a_rs, a_rt, a_sv, a_ma),
+                pallas_sb, T)
+        else:
+            S31 = fused_detect_scans(
+                ts, thresh_t, seas_t, anom_plus, anom_minus, day,
+                is_start, shifts, interpret=pallas_interpret)
+            # the segmented-sum value at an event's end row IS the event
+            # total, and the min/max/argmax channels plus their value
+            # payloads ride the same array: ONE boundary gather serves
+            # all 31 channels — no (T, C) series is ever gathered at
+            # event positions on this path
+            G31 = jnp.take_along_axis(S31, end_pos[:, None, :], axis=0)
         R = lax.bitcast_convert_type(G31[:, :17, :], jnp.float32)
         pl_scan = G31[:, 17:, :]
     else:

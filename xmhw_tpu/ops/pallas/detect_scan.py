@@ -62,7 +62,7 @@ def _shift_rows(x, d, neutral):
 
 def _kernel(ts_ref, th_ref, se_ref, ap_ref, am_ref, day_ref, isst_ref,
             shifts_ref, s_ref, pcarry, fcarry, icarry,
-            rcarry, *, T):
+            rcarry, *, T, sb=0):
     j = pl.program_id(1)
     dtf = jnp.float32
     nan = jnp.float32(jnp.nan)
@@ -212,11 +212,24 @@ def _kernel(ts_ref, th_ref, se_ref, ap_ref, am_ref, day_ref, isst_ref,
     def bc(x):
         return lax.bitcast_convert_type(x, jnp.int32)
 
-    s_ref[:] = jnp.stack(
-        [bc(x) for x in msums]
-        + [bc(mv), bc(msv), bc(mct), mi, mff, mlf, mfa, mla,
-           bc(mvff), bc(mvlf), bc(mvfa), bc(mvla), bc(mprt), bc(mpma)],
-        axis=1)
+    channels = ([bc(x) for x in msums]
+                + [bc(mv), bc(msv), bc(mct), mi, mff, mlf, mfa, mla,
+                   bc(mvff), bc(mvlf), bc(mvfa), bc(mvla), bc(mprt),
+                   bc(mpma)])
+    if sb:
+        # checkpoint mode: emit only each sub-block's FINAL state row
+        # (static slices + axis-0 concat — Mosaic-safe; no strided
+        # slicing, no 3-D reshape). The caller recombines in-XLA from
+        # the raw series (features_scan._ckpt_recombine), cutting the
+        # HBM write from (Tp, 31, C) to (Tp/sb, 31, C).
+        def rows_of(x):
+            return jnp.concatenate(
+                [x[r * sb + sb - 1: r * sb + sb, :]
+                 for r in range(TB // sb)], axis=0)
+
+        s_ref[:] = jnp.stack([rows_of(x) for x in channels], axis=1)
+    else:
+        s_ref[:] = jnp.stack(channels, axis=1)
 
     for i in range(NP_):
         pcarry[i:i + 1, :] = msums[i][TB - 1:TB, :]
@@ -228,9 +241,9 @@ def _kernel(ts_ref, th_ref, se_ref, ap_ref, am_ref, day_ref, isst_ref,
     rcarry[0:1, :] = mr[TB - 1:TB, :]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "sb"))
 def fused_detect_scans(ts, thresh_t, seas_t, anom_plus, anom_minus, day,
-                       is_start, shifts, interpret=False):
+                       is_start, shifts, interpret=False, sb=0):
     """One-pass segmented sums + segmented min/max scans. Series inputs
     (T, C) float32; day/is_start (T, C) bool-like; shifts (4, C) float32
     per-cell shift constants (relSeas, relThresh, severity, mabs order).
@@ -240,9 +253,16 @@ def fused_detect_scans(ts, thresh_t, seas_t, anom_plus, anom_minus, day,
     multiple — callers gather at row positions < T, so the pad rows are
     never read and slicing them off here would only force XLA to copy
     the multi-GB buffer. See module docstring for channels.
+
+    ``sb`` > 0 (a divisor of TB): CHECKPOINT mode — returns
+    (Tp/sb, 31, C) holding only each sb-row sub-block's final scan
+    state. 16x less HBM write traffic; callers recombine the state at
+    arbitrary rows from the checkpoints + the raw series
+    (features_scan._ckpt_recombine).
     """
     T, C = ts.shape
     assert C % LANES == 0
+    assert sb == 0 or TB % sb == 0
     nb = -(-T // TB)
     Tp = nb * TB
 
@@ -261,16 +281,18 @@ def fused_detect_scans(ts, thresh_t, seas_t, anom_plus, anom_minus, day,
             padt(is_start.astype(jnp.int8), 0),
             shifts.astype(jnp.float32)]
 
-    kernel = functools.partial(_kernel, T=T)
+    kernel = functools.partial(_kernel, T=T, sb=sb)
     tmap2 = lambda i, j: (j, i)
     tmap3 = lambda i, j: (j, 0, i)
+    out_rows = TB // sb if sb else TB
     S = pl.pallas_call(
         kernel,
         grid=(C // LANES, nb),
         in_specs=[pl.BlockSpec((TB, LANES), tmap2)] * 7
         + [pl.BlockSpec((4, LANES), lambda i, j: (0, i))],
-        out_specs=pl.BlockSpec((TB, NT_, LANES), tmap3),
-        out_shape=jax.ShapeDtypeStruct((Tp, NT_, C), jnp.int32),
+        out_specs=pl.BlockSpec((out_rows, NT_, LANES), tmap3),
+        out_shape=jax.ShapeDtypeStruct((nb * out_rows, NT_, C),
+                                       jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((NP_, LANES), jnp.float32),
             pltpu.VMEM((9, LANES), jnp.float32),

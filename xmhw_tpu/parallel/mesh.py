@@ -47,3 +47,23 @@ def pad_cells(arr: np.ndarray, multiple: int, fill=np.nan):
         return arr, c
     pad = [(0, 0)] * (arr.ndim - 1) + [(0, target - c)]
     return np.pad(arr, pad, constant_values=fill), c
+
+
+def make_cell_array(mesh: Mesh, global_shape, fill_fn, ndim=None):
+    """Build a cell-sharded GLOBAL array, each process feeding only its
+    addressable shards.
+
+    ``fill_fn(index_tuple) -> np.ndarray`` supplies the data for one
+    shard (called once per addressable shard with the global index
+    slices). This is the multi-host input path: under
+    ``jax.distributed`` each host reads only its own cell stripes from
+    disk (e.g. via stream.GridReader hyperslabs) and never materializes
+    the global grid — the analogue of the reference's manual per-block
+    splitting (reference: docs/dask.rst:44-86) across hosts. On a
+    single process it degenerates to a plain sharded device_put.
+    Exercised by tools/multihost_dryrun.py (2-process gloo CPU run).
+    """
+    ndim = ndim if ndim is not None else len(global_shape)
+    sharding = cell_sharding(mesh, ndim)
+    return jax.make_array_from_callback(tuple(global_shape), sharding,
+                                        fill_fn)
