@@ -231,7 +231,10 @@ def _gen_global_file(path, ny, nx, years, land_frac=0.33, seed=7):
     T = int(round(years * 365.25))
     t_raw = np.arange(T, dtype=np.float64)
     rng = np.random.default_rng(seed)
-    periods = [365.25, 182.6, 45.0, 30.4, 21.0, 13.7, 9.3, 6.1]
+    # v2 periods: >= 2 weeks — the v1 mix (6-9 day oscillations) made
+    # cells average ~45 events/40y with >128-event outliers (K=256),
+    # far denser than real SST; realistic persistence keeps K ~ 64-128
+    periods = [365.25, 182.6, 60.0, 37.0, 24.0, 15.5]
     B = 2 * len(periods)
     basis = np.empty((T, B), np.float32)
     for i, p in enumerate(periods):
@@ -301,7 +304,7 @@ def bench_global_streamed():
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
     os.makedirs(cache, exist_ok=True)
-    src = os.path.join(cache, f"global_sst_{ny}x{nx}x{years}.nc")
+    src = os.path.join(cache, f"global_sst_v2_{ny}x{nx}x{years}.nc")
     tgen0 = time.perf_counter()
     if not os.path.exists(src):
         ocean = _gen_global_file(src, ny, nx, years)

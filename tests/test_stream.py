@@ -349,10 +349,12 @@ def test_stream_rank_matches_api(stream_pipeline, tmp_path):
     exp_r, exp_p = xm.mhw_rank(mhw)
     kmax = mhw["event"].sizes["ev"]
     for v in exp_r.keys():
+        # ranks are small ints (exact in the f4 file storage); return
+        # periods round to f4
         np.testing.assert_allclose(got_r[v].data[:kmax], exp_r[v].data,
-                                   rtol=1e-9, equal_nan=True, err_msg=v)
+                                   rtol=1e-6, equal_nan=True, err_msg=v)
         np.testing.assert_allclose(got_p[v].data[:kmax], exp_p[v].data,
-                                   rtol=1e-9, equal_nan=True, err_msg=v)
+                                   rtol=1e-6, equal_nan=True, err_msg=v)
 
 
 def test_stream_detect_no_events(grid_file, tmp_path):

@@ -52,9 +52,14 @@ class CellRunner:
         self.block = block or _auto_block(T, Z, ndoy, n_dev)
         if self.mesh and self.block % n_dev:
             self.block = -(-self.block // n_dev) * n_dev
-        self.block = min(self.block,
-                         max(n_dev, -(-n_cells // max(n_dev, 1)) *
-                             max(n_dev, 1)))
+        # when the grid is smaller than the block, shrink — but only to
+        # a COARSE quantum (1024 cells): streamed pipelines feed stripes
+        # whose ocean-cell counts all differ, and a per-stripe block
+        # shape would compile a fresh kernel variant per stripe (each a
+        # multi-second remote compile on the bench harness). NaN padding
+        # is dropped on output, so over-padding costs only bandwidth.
+        q = 1024 * max(n_dev, 1) if n_cells > 1024 else max(n_dev, 1)
+        self.block = min(self.block, max(n_dev, -(-n_cells // q) * q))
         self.n_cells = n_cells
 
     def device_block(self, arr_np: np.ndarray, lo: int) -> jax.Array:
@@ -243,7 +248,7 @@ def _sharded_detect_kernel(mesh, **static_kw):
 def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
                max_gap, intermediate=False, block=None, mesh=None,
                k_cap=None, day0_fillna_quirk=False, use_pallas=None,
-               pallas_interpret=False):
+               pallas_interpret=False, k_min=None):
     """Detection for all cells: returns (tables dict of (K, C) numpy,
     n_events (C,), inter dict of (T, C) numpy).
 
@@ -297,7 +302,11 @@ def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
             n = _count_kernel(ts, th, doy_pos, min_duration=min_duration,
                               join_gaps=join_gaps, max_gap=max_gap,
                               day0_fillna_quirk=day0_fillna_quirk)
-            K = _cap(_round_k(int(jnp.max(n))))
+            # k_min: callers processing many chunks (stream_detect) pass
+            # the K discovered so far, so later chunks start at the
+            # stable capacity instead of regrowing (and recompiling the
+            # kernel per K variant) chunk after chunk
+            K = _cap(_round_k(max(int(jnp.max(n)), int(k_min or 1))))
         while True:
             static_kw = dict(
                 K=K, min_duration=min_duration, join_gaps=join_gaps,

@@ -406,7 +406,8 @@ def stream_detect(
                 comp, th, se, doy_pos, min_duration=minDuration,
                 join_gaps=joinGaps, max_gap=maxGap, block=cell_block,
                 mesh=mesh, intermediate=intermediate,
-                day0_fillna_quirk=reference_quirks)
+                day0_fillna_quirk=reference_quirks,
+                k_min=kmax)  # stabilize K across stripes (one compile)
             if intermediate:
                 if iw is None:
                     iw, inter_vars = _make_inter_writer(
@@ -630,13 +631,22 @@ def stream_block_average(
                 res.update({k: np.asarray(v) for k, v in dev.items()})
                 # ---- per-day half ------------------------------------
                 if gts is not None:
-                    ts_b = jnp.asarray(
-                        gts.read(lo, hi).astype(np.float64))
+                    from .parallel.mesh import pad_cells
+
+                    # land-compact before the (T, cells) upload (the
+                    # dominant transfer), then pad to a 1024-cell
+                    # quantum so all stripes share ONE compiled shape
+                    ts_np = gts.read(lo, hi)
+                    comp2, keep2 = _compact_ocean(ts_np)
+                    comp2, _ = pad_cells(comp2.astype(np.float64), 1024)
+                    ts_b = jnp.asarray(comp2)
                     if gth is not None:
-                        th_b = jnp.asarray(
-                            gth.read(lo, hi).astype(np.float64))
-                        se_b = jnp.asarray(
-                            gse.read(lo, hi).astype(np.float64))
+                        th_np = gth.read(lo, hi)[:, keep2]
+                        se_np = gse.read(lo, hi)[:, keep2]
+                        th_b = jnp.asarray(pad_cells(
+                            th_np.astype(np.float64), 1024)[0])
+                        se_b = jnp.asarray(pad_cells(
+                            se_np.astype(np.float64), 1024)[0])
                         cats_b = _cats_kernel(ts_b, th_b, se_b, doy_pos)
                     else:
                         cats_b = jnp.zeros_like(ts_b)
@@ -645,10 +655,17 @@ def stream_block_average(
                         count_nans=removeMissing)
                     nan_days = (np.asarray(day.pop("nan_days"))
                                 if removeMissing else None)
-                    res.update({k: np.asarray(v)
-                                for k, v in day.items()})
+                    # scatter compacted results back to stripe width:
+                    # land cells get NaN means and ZERO day counts,
+                    # matching the in-memory device path on full grids
+                    for k, v in day.items():
+                        fill = 0.0 if k.endswith("_days") else np.nan
+                        full_v = np.full((nbins, c_str), fill)
+                        full_v[:, keep2] = np.asarray(v)[:, :keep2.size]
+                        res[k] = full_v
                     if nan_days is not None:
-                        mask = nan_days > 0
+                        mask = np.ones((nbins, c_str), bool)
+                        mask[:, keep2] = nan_days[:, :keep2.size] > 0
                         res = {k: np.where(mask, np.nan, v)
                                for k, v in res.items()}
                 for name in out_names:
@@ -766,9 +783,13 @@ def stream_rank(
         wp = _Writer(return_path, dim_coords, global_attrs={
             "source": "xmhw_tpu stream_rank return periods",
             "nYears": nYears})
-        rvars = {v: wr.create(v, (ev_dim, *gm.grid_dims), "f8")
+        # f4 storage: ranks are small integers and return periods small
+        # ratios — exactly/adequately representable, half the file size
+        # (the in-memory API returns float64; files are the streamed
+        # contract)
+        rvars = {v: wr.create(v, (ev_dim, *gm.grid_dims), "f4")
                  for v in variables}
-        pvars = {v: wp.create(v, (ev_dim, *gm.grid_dims), "f8")
+        pvars = {v: wp.create(v, (ev_dim, *gm.grid_dims), "f4")
                  for v in variables}
         for lo in range(0, gm.grid_shape[0], rows):
             hi = min(lo + rows, gm.grid_shape[0])
