@@ -713,20 +713,27 @@ def _record_nyears(t0, t1, attrs):
     return float(y1[w1].max() - y0[w0].min() + 1)
 
 
+_cats_jit = None
+
+
 def _cats_kernel(ts, th, se, doy_pos):
     """Per-day category series on device
-    (cats = floor(1+(ts-th)/(th-se)), reference stats.py:225-231)."""
-    import jax
-
-    @jax.jit
-    def k(ts, th, se, doy_pos):
+    (cats = floor(1+(ts-th)/(th-se)), reference stats.py:225-231).
+    The jitted function is created once (module cache): a per-call
+    ``jax.jit`` would re-trace on every stripe."""
+    global _cats_jit
+    if _cats_jit is None:
+        import jax
         import jax.numpy as jnp
 
-        tht = th[doy_pos]
-        set_ = se[doy_pos]
-        return jnp.floor(1 + (ts - tht) / (tht - set_))
+        @jax.jit
+        def k(ts, th, se, doy_pos):
+            tht = th[doy_pos]
+            set_ = se[doy_pos]
+            return jnp.floor(1 + (ts - tht) / (tht - set_))
 
-    return k(ts, th, se, doy_pos)
+        _cats_jit = k
+    return _cats_jit(ts, th, se, doy_pos)
 
 
 def stream_rank(
