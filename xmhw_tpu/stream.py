@@ -755,6 +755,7 @@ def stream_rank(
     Returns (rank_path, return_path).
     """
     import h5py
+    import jax
     import jax.numpy as jnp
 
     from .core.stats import rank_events_desc
@@ -782,9 +783,11 @@ def stream_rank(
         dim_coords = {ev_dim: gm.coord(ev_dim)}
         for d in gm.grid_dims:
             dim_coords[d] = gm.coord(d)
-        rows = stripe or _auto_stripe(gm.v.shape[0] * 16, gm.grid_shape)
-        row_cells = int(np.prod(gm.grid_shape[1:], dtype=np.int64)) or 1
         K = gm.v.shape[0]
+        # stripe sized for the STACKED (V, K, cells) device block
+        rows = stripe or _auto_stripe(
+            max(K * len(variables), 1), gm.grid_shape, budget=2 ** 29)
+        row_cells = int(np.prod(gm.grid_shape[1:], dtype=np.int64)) or 1
         wr = _Writer(rank_path, dim_coords, global_attrs={
             "source": "xmhw_tpu stream_rank", "nYears": nYears})
         wp = _Writer(return_path, dim_coords, global_attrs={
@@ -798,14 +801,22 @@ def stream_rank(
                  for v in variables}
         pvars = {v: wp.create(v, (ev_dim, *gm.grid_dims), "f4")
                  for v in variables}
+        # all variables ride ONE (V, K, cells) upload + ONE vmapped rank
+        # kernel + ONE fetch per stripe: the tunnel charges a fixed
+        # ~4-5 s + dispatch floor per transfer, so 24 per-variable
+        # round-trips per stripe cost ~10x more than one batched one
+        rank_b = jax.jit(jax.vmap(
+            lambda a: rank_events_desc(a, jnp.ones(a.shape, bool))))
         for lo in range(0, gm.grid_shape[0], rows):
             hi = min(lo + rows, gm.grid_shape[0])
-            for v in variables:
-                blk = np.asarray(f[v][(slice(None), slice(lo, hi))],
-                                 np.float64).reshape(K, -1)
-                r = np.asarray(rank_events_desc(
-                    jnp.asarray(blk), jnp.ones(blk.shape, bool)))
-                shape = (K, hi - lo, *gm.grid_shape[1:])
+            blk = np.stack([
+                np.asarray(f[v][(slice(None), slice(lo, hi))],
+                           np.float64).reshape(K, -1)
+                for v in variables])
+            r_all = np.asarray(rank_b(jnp.asarray(blk)))
+            shape = (K, hi - lo, *gm.grid_shape[1:])
+            for i, v in enumerate(variables):
+                r = r_all[i]
                 rvars[v][:, lo:hi] = r.reshape(shape)
                 pvars[v][:, lo:hi] = ((nYears + 1) / r).reshape(shape)
         wr.close()
