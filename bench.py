@@ -14,7 +14,9 @@ in the JSON line under detail.configs and traced on stderr:
   0 global_streamed   MEASURED file-to-file planet-scale pipeline:
                       stream_threshold/detect/block_average/rank on a
                       multi-GB synthetic NetCDF on disk (wall, RSS,
-                      device share; scale via XMHW_BENCH_GLOBAL)
+                      device share; scale via XMHW_BENCH_GLOBAL), plus
+                      the fused single-pass stream_run (one read + one
+                      upload for all four stages) on the same file
   1 single_point      ~30-yr series through the public API (host incl.)
   2 tasman_regional   50x50 grid, 30% land NaNs, skipna on/off, union
                       assembly included (user-visible end-to-end),
@@ -318,20 +320,19 @@ def bench_global_streamed():
 
     from xmhw_tpu.core import pipeline as _pl
 
-    # attribute device-step time: wrap the two kernel-loop entry points
-    dev_t = {"s": 0.0}
-
-    def _timed(fn):
+    # attribute device-step time: wrap the kernel-loop entry points
+    def _timed(fn, acc):
         def wrap(*a, **k):
             t0 = time.perf_counter()
             out = fn(*a, **k)
-            dev_t["s"] += time.perf_counter() - t0
+            acc["s"] += time.perf_counter() - t0
             return out
         return wrap
 
+    dev_t = {"s": 0.0}
     orig_clim, orig_det = _pl.run_clim, _pl.run_detect
-    _pl.run_clim = _timed(orig_clim)
-    _pl.run_detect = _timed(orig_det)
+    _pl.run_clim = _timed(orig_clim, dev_t)
+    _pl.run_detect = _timed(orig_det, dev_t)
     import xmhw_tpu.stream as _st
     _st.run_clim, _st.run_detect = _pl.run_clim, _pl.run_detect
     try:
@@ -365,6 +366,31 @@ def bench_global_streamed():
               rank_out[:-3] + "_return.nc"):
         if os.path.exists(p):
             os.remove(p)
+
+    # ---- fused single-pass pipeline (stream_run): same four outputs,
+    # ONE read + ONE upload of the data, all stages device-resident ----
+    fus_t = {"s": 0.0}
+    orig_fused = _pl.run_fused
+    _pl.run_fused = _timed(orig_fused, fus_t)
+    f_clim = os.path.join(cache, "f_clim.nc")
+    f_mhw = os.path.join(cache, "f_mhw.nc")
+    f_blk = os.path.join(cache, "f_block.nc")
+    f_rank = os.path.join(cache, "f_rank.nc")
+    try:
+        t5 = time.perf_counter()
+        xm.stream_run(src, "sst", f_clim, f_mhw, block_path=f_blk,
+                      rank_path=f_rank, events_layout="compact")
+        t6 = time.perf_counter()
+    finally:
+        _pl.run_fused = orig_fused
+    with h5py.File(f_mhw, "r") as f:
+        n_events_f = int(np.isfinite(f["event"][()]).sum())
+    for p in (f_clim, f_mhw, f_blk, f_rank, f_rank[:-3] + "_return.nc"):
+        if os.path.exists(p):
+            os.remove(p)
+    fwall = t6 - t5
+    assert n_events_f == n_events, (n_events_f, n_events)
+
     return {
         "name": "global_streamed",
         "grid": f"{ny}x{nx}x{years}y",
@@ -380,6 +406,13 @@ def bench_global_streamed():
         "device_step_s": round(dev_t["s"], 1),
         "device_step_share": round(dev_t["s"] / wall, 3),
         "peak_host_rss_gb": round(rss_gb, 2),
+        "fused_single_pass": {
+            "wall_s": round(fwall, 1),
+            "cells_per_sec_full_pipeline": round(ocean / fwall, 1),
+            "device_step_s": round(fus_t["s"], 1),
+            "device_step_share": round(fus_t["s"] / fwall, 3),
+            "speedup_vs_staged": round(wall / fwall, 2),
+        },
     }
 
 

@@ -1,0 +1,156 @@
+"""Fused single-pass pipeline (stream_run) vs the staged streamed stages.
+
+stream_run collapses threshold -> detect -> block_average -> mhw_rank
+into ONE pass over the input file (each stripe uploaded once, all stages
+on device-resident data). These tests pin its output files to byte-level
+agreement with the staged functions across the flag matrix.
+"""
+
+import numpy as np
+import pytest
+
+import xmhw_tpu as xm
+from xmhw_tpu.stream import (stream_block_average, stream_detect,
+                             stream_rank, stream_run, stream_threshold)
+from xmhw_tpu.xrlite import Coord, DataArray, Dataset
+
+
+@pytest.fixture(scope="module")
+def grid_file(tmp_path_factory):
+    rng = np.random.default_rng(42)
+    t = np.arange("2000-01-01", "2003-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")
+    T = len(t)
+    ny, nx = 12, 8
+    day = np.arange(T)[:, None, None]
+    sst = (15 + 3 * np.sin(2 * np.pi * day / 365.25)
+           + rng.normal(0, 2.2, (T, ny, nx))).astype(np.float64)
+    sst[:, 0, 0] = np.nan  # land
+    sst[:, 5, 3] = np.nan
+    sst[100:104, 2, 2] = np.nan  # short interior gap
+    ds = Dataset()
+    ds["sst"] = DataArray(
+        sst, ("time", "lat", "lon"),
+        {"time": Coord(("time",), t),
+         "lat": Coord(("lat",), np.linspace(-40, -30, ny)),
+         "lon": Coord(("lon",), np.linspace(140, 147, nx))},
+        {"units": "degC"})
+    path = tmp_path_factory.mktemp("streamrun") / "sst.nc"
+    xm.save_dataset(ds, str(path))
+    return str(path)
+
+
+def _staged(path, d, **kw):
+    """Run the staged 4-stage pipeline; returns dict of file paths."""
+    layout = kw.pop("events_layout", "compact")
+    thr_kw = {k: kw[k] for k in ("climatologyPeriod", "pctile",
+                                 "windowHalfWidth", "smoothPercentile",
+                                 "smoothPercentileWidth", "maxPadLength",
+                                 "coldSpells", "tstep", "anynans")
+              if k in kw}
+    det_kw = {k: kw[k] for k in ("minDuration", "joinGaps", "maxGap",
+                                 "maxPadLength", "coldSpells", "tstep",
+                                 "anynans")
+              if k in kw}
+    blk_kw = {k: kw[k] for k in ("blockLength", "removeMissing")
+              if k in kw}
+    clim = str(d / "s_clim.nc")
+    mhw = str(d / "s_mhw.nc")
+    blk = str(d / "s_blk.nc")
+    rnk = str(d / "s_rank.nc")
+    stream_threshold(path, "sst", clim, dtype=np.float64, stripe=5,
+                     **thr_kw)
+    stream_detect(path, "sst", clim, mhw, dtype=np.float64, stripe=5,
+                  events_layout=layout, **det_kw)
+    stream_block_average(mhw, blk, dstime_path=path, dstime_var="sst",
+                         clim_path=clim, stripe=5, **blk_kw)
+    rp, pp = stream_rank(mhw, rnk, stripe=5)
+    return {"clim": clim, "mhw": mhw, "block": blk, "rank": rp,
+            "return": pp}
+
+
+def _fused(path, d, **kw):
+    layout = kw.pop("events_layout", "compact")
+    return stream_run(
+        path, "sst", str(d / "f_clim.nc"), str(d / "f_mhw.nc"),
+        block_path=str(d / "f_blk.nc"), rank_path=str(d / "f_rank.nc"),
+        dtype=np.float64, stripe=5, events_layout=layout, **kw)
+
+
+def _assert_files_equal(got_path, exp_path, atol=1e-9, rtol=1e-9):
+    got = xm.open_dataset(got_path)
+    exp = xm.open_dataset(exp_path)
+    assert set(got.keys()) == set(exp.keys())
+    for v in exp.keys():
+        a, b = got[v].data, exp[v].data
+        assert a.shape == b.shape, v
+        if a.dtype.kind == "M":
+            np.testing.assert_array_equal(np.isnat(a), np.isnat(b),
+                                          err_msg=v)
+            np.testing.assert_array_equal(a[~np.isnat(a)],
+                                          b[~np.isnat(b)], err_msg=v)
+        else:
+            np.testing.assert_allclose(
+                np.asarray(a, np.float64), np.asarray(b, np.float64),
+                atol=atol, rtol=rtol, equal_nan=True, err_msg=v)
+
+
+CASES = {
+    "default": {},
+    "union": {"events_layout": "union"},
+    "cold": {"coldSpells": True},
+    "anynans": {"anynans": True},
+    "maxpad": {"maxPadLength": 5},
+    "removemissing": {"removeMissing": True},
+    "blocks2_climperiod": {"blockLength": 2,
+                           "climatologyPeriod": [2000, 2001]},
+}
+
+
+@pytest.mark.parametrize("case", list(CASES))
+def test_stream_run_matches_staged(grid_file, tmp_path, case):
+    kw = dict(CASES[case])
+    exp = _staged(grid_file, tmp_path, **dict(kw))
+    got = _fused(grid_file, tmp_path, **dict(kw))
+    for part in ("clim", "mhw", "block", "rank", "return"):
+        _assert_files_equal(got[part], exp[part])
+
+
+def test_stream_run_nyears_attr(grid_file, tmp_path):
+    import h5py
+
+    exp = _staged(grid_file, tmp_path)
+    got = _fused(grid_file, tmp_path)
+    with h5py.File(got["rank"], "r") as fg, \
+            h5py.File(exp["rank"], "r") as fe:
+        assert np.isclose(fg.attrs["nYears"], fe.attrs["nYears"])
+
+
+def test_stream_run_without_stats(grid_file, tmp_path):
+    """clim+mhw only: no block/rank files requested."""
+    out = stream_run(grid_file, "sst", str(tmp_path / "c.nc"),
+                     str(tmp_path / "m.nc"), dtype=np.float64, stripe=5)
+    assert set(out) == {"clim", "mhw"}
+    clim = str(tmp_path / "sc.nc")
+    stream_threshold(grid_file, "sst", clim, dtype=np.float64, stripe=5)
+    _assert_files_equal(out["clim"], clim)
+
+
+def test_table_vars_constant_in_sync():
+    """features_scan.TABLE_VARS must match detect_kernel's actual output
+    keys (RANK_VARS and stream_run depend on it)."""
+    import jax.numpy as jnp
+
+    from xmhw_tpu.core.features_scan import (RANK_VARS, TABLE_VARS,
+                                             detect_kernel)
+
+    rng = np.random.default_rng(0)
+    ts = jnp.asarray(rng.normal(15, 2, (40, 2)))
+    th = jnp.asarray(np.full((366, 2), 15.5))
+    se = jnp.asarray(np.full((366, 2), 15.0))
+    pos = jnp.asarray((np.arange(40) % 366).astype(np.int32))
+    tbl, _, _ = detect_kernel(ts, th, se, pos, K=4)
+    assert tuple(sorted(tbl.keys())) == TABLE_VARS
+    assert RANK_VARS == tuple(
+        k for k in TABLE_VARS
+        if not any(x in k for x in ("event", "time", "index")))

@@ -16,7 +16,7 @@ from .api import detect, flip_cold, land_check, threshold
 from .exception import XmhwException
 from .stats_api import block_average, mhw_rank
 from .stream import (stream_block_average, stream_detect,
-                     stream_rank, stream_threshold)
+                     stream_rank, stream_run, stream_threshold)
 from .xrlite import (DataArray, Dataset, TimeIndex, open_dataset,
                      save_dataset)
 
@@ -37,6 +37,7 @@ __all__ = [
     "stream_block_average",
     "stream_detect",
     "stream_rank",
+    "stream_run",
     "stream_threshold",
     "threshold",
     "__version__",

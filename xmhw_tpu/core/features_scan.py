@@ -39,6 +39,25 @@ from .events import mhw_filter
 
 _I32 = jnp.int32
 
+# detect_kernel's event-table variables (jit returns dict keys sorted);
+# tests assert this stays in sync with the actual output
+TABLE_VARS = (
+    "category", "duration", "duration_extreme", "duration_moderate",
+    "duration_severe", "duration_strong", "event", "index_end",
+    "index_peak", "index_start", "intensity_cumulative",
+    "intensity_cumulative_abs", "intensity_cumulative_relThresh",
+    "intensity_max", "intensity_max_abs", "intensity_max_relThresh",
+    "intensity_mean", "intensity_mean_abs", "intensity_mean_relThresh",
+    "intensity_var", "intensity_var_abs", "intensity_var_relThresh",
+    "rate_decline", "rate_onset", "severity_cumulative", "severity_max",
+    "severity_mean", "severity_var", "time_end", "time_peak",
+    "time_start",
+)
+# the rankable subset — mhw_rank skips event/time/index variables
+# (reference: xmhw/stats.py:482-486)
+RANK_VARS = tuple(k for k in TABLE_VARS
+                  if not any(x in k for x in ("event", "time", "index")))
+
 
 def _ckpt_comb(a, b, np_=17):
     """The fused-scan combine (ops/pallas/detect_scan.py:_kernel comb),

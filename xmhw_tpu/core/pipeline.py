@@ -245,6 +245,277 @@ def _sharded_detect_kernel(mesh, **static_kw):
         check_vma=False))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "K", "min_duration", "join_gaps", "max_gap",
+                     "day0_fillna_quirk", "use_pallas_scan",
+                     "pallas_interpret", "cold"))
+def _detect_sliced(ts_pad, th, se, doy_pos, T, K, min_duration, join_gaps,
+                   max_gap, day0_fillna_quirk, use_pallas_scan,
+                   pallas_interpret, cold):
+    """detect_kernel on the first T rows of the (possibly clim-padded)
+    device-resident block; ``cold`` negates the series on device (the
+    staged path negates on host, reference: xmhw/xmhw.py:412-413)."""
+    ts = jax.lax.slice_in_dim(ts_pad, 0, T, axis=0)
+    if cold:
+        ts = -ts
+    return detect_kernel(ts, th, se, doy_pos, K=K,
+                         min_duration=min_duration, join_gaps=join_gaps,
+                         max_gap=max_gap, intermediate=False,
+                         use_pallas_scan=use_pallas_scan,
+                         pallas_interpret=pallas_interpret,
+                         day0_fillna_quirk=day0_fillna_quirk)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "nbins", "day_edges", "count_nans",
+                     "rank_names", "cold"))
+def fused_stats_kernel(table, ts_pad, th, se, doy_pos, ybod, T, nbins,
+                       day_edges, count_nans, rank_names, cold):
+    """The full stats layer on a device-resident detect output: one jit
+    computing the year-block event aggregations (reference:
+    xmhw/stats.py:322-363), the per-day ts/category block stats
+    (stats.py:366-428) and the per-cell ordinal ranks (stats.py:446-510)
+    without the event tables or the day series ever leaving the device.
+
+    ``table``: detect_kernel output dict (device). ``ts_pad``: the
+    ORIGINAL (un-negated) series block — day stats always run on the
+    input values even for coldSpells, matching the staged pipeline
+    where block_average reads the raw SST file. ``ybod``: (T,) int32
+    year-bin per timestep, -1 = outside the requested period.
+    ``rank_names``: static tuple of table variables to rank (empty
+    tuple skips ranking). ``cold``: flip intensity values (but not
+    variances) before aggregating/ranking, matching flip_cold applied
+    to the staged detect file (reference: xmhw/features.py:298-315).
+    Returns {"block": {...}, "day": {...}, "rank": {...}}.
+    """
+    from .stats import (EVENT_VARS, binned_day_stats, binned_event_stats,
+                        rank_events_desc)
+
+    ts = jax.lax.slice_in_dim(ts_pad, 0, T, axis=0)
+    dt = ts.dtype
+
+    def flip(name, v):
+        if cold and "intensity" in name and "_var" not in name:
+            return -v
+        return v
+
+    out = {}
+    if nbins:
+        tstart = table["time_start"]
+        bin_idx = ybod[jnp.clip(tstart, 0, T - 1)]
+        valid = (tstart >= 0) & (bin_idx >= 0)
+        vals = jnp.stack([flip(k, table[k]).astype(dt)
+                          for k in EVENT_VARS])
+        out["block"] = binned_event_stats(
+            vals, jnp.clip(bin_idx, 0, nbins - 1), valid, nbins)
+        thr = th[doy_pos]
+        ser = se[doy_pos]
+        cats = jnp.floor(1.0 + (ts - thr) / (thr - ser))
+        out["day"] = binned_day_stats(ts, cats, day_edges,
+                                      with_cats=True,
+                                      count_nans=count_nans)
+    if rank_names:
+        ones = jnp.ones(table["time_start"].shape, bool)
+        out["rank"] = {
+            k: rank_events_desc(flip(k, table[k]).astype(dt), ones)
+            for k in rank_names}
+    return out
+
+
+def run_fused(ts_np, doy_np, doy_pos_np, *, w=5, ndoy=366, pctile=90,
+              smooth=True, smooth_w=31, patch_feb29=True, min_duration=5,
+              join_gaps=True, max_gap=2, day0_fillna_quirk=False,
+              cold_spells=False, ts_clim_np=None, doy_clim_np=None,
+              ts_day_np=None, ybod_np=None, nbins=0, day_edges=None,
+              count_nans=False, rank_names=(), det_mask_np=None,
+              block=None, k_min=None, k_cap=None, use_pallas=None,
+              pallas_interpret=False):
+    """Single-upload fused pipeline for all cells: climatology + detect
+    + year-block stats + ranks, each cell block shipped to the device
+    ONCE and every stage consuming the previous stage's device-resident
+    output. This is the TPU-native replacement for the reference's
+    staged workflow (threshold -> detect -> block_average -> mhw_rank,
+    docs/gettingstarted.rst:158-188) which re-reads and re-uploads the
+    same series at every stage.
+
+    ``ts_np``: (T, C) ORIGINAL series (not negated, not interpolated —
+    pass ``maxPadLength``-interpolated data here and the raw series as
+    ``ts_day_np`` to reproduce the staged stats semantics).
+    ``ts_clim_np``/``doy_clim_np``: optional climatologyPeriod subset
+    for the climatology stage (defaults: the full series).
+    ``ybod_np``: (T,) int32 year-bin of each timestep (-1 outside the
+    period); with ``nbins``/``day_edges`` enables the stats stage.
+    ``rank_names``: table variables to rank on device.
+    ``det_mask_np``: (C,) bool — cells excluded from detection (e.g.
+    any-NaN cells under ``anynans``) get NaN thresholds, so they yield
+    no events and NaN categories while their day stats still compute,
+    matching the staged pipeline where the clim file is NaN there.
+
+    Returns (th, se, tables, n_events, extras) where extras holds
+    numpy "block"/"day"/"rank" dicts for the enabled stages.
+    """
+    from ..xrlite.alloc import alloc_filled
+    from .calendar import build_window_index, build_window_ranges
+
+    T, C = ts_np.shape
+    if ts_clim_np is None:
+        ts_clim_np, doy_clim_np = ts_np, doy_np
+    same_clim = ts_clim_np is ts_np
+    pallas_clim = _use_pallas_clim(ts_np.dtype, use_pallas)
+    use_pallas_scan = (use_pallas if use_pallas is not None
+                       else ts_np.dtype == np.float32
+                       and jax.default_backend() != "cpu")
+
+    if pallas_clim:
+        starts_np, lens_np, ny, rmax = build_window_ranges(
+            doy_clim_np, w, ndoy)
+        main_np = (np.pad(ts_np, ((0, rmax), (0, 0)),
+                          constant_values=np.nan)
+                   if same_clim else ts_np)
+        clim_np = (main_np if same_clim else
+                   np.pad(ts_clim_np, ((0, rmax), (0, 0)),
+                          constant_values=np.nan))
+    else:
+        gidx_np, Z = build_window_index(doy_clim_np, w, ndoy)
+        main_np = ts_np
+        clim_np = ts_clim_np
+
+    runner = CellRunner(C, T, 2 * w + 1, ndoy, block=block,
+                        use_mesh=False)
+    quantum = 128 if (pallas_clim or use_pallas_scan) else 1
+    if runner.block % quantum:
+        runner.block = -(-runner.block // quantum) * quantum
+
+    doy_pos = runner.device_replicated(doy_pos_np)
+    if pallas_clim:
+        starts = runner.device_replicated(starts_np.reshape(-1))
+        lens = runner.device_replicated(lens_np.reshape(-1))
+    else:
+        gidx = runner.device_replicated(gidx_np)
+    with_stats = bool(nbins)
+    ybod = (runner.device_replicated(ybod_np.astype(np.int32))
+            if with_stats else None)
+
+    kcap_eff = int(k_cap) if k_cap is not None else None
+
+    def _cap(k):
+        return min(k, kcap_eff) if kcap_eff is not None else k
+
+    def _fill_of(v):
+        return -1 if np.issubdtype(v.dtype, np.integer) else np.nan
+
+    out_t = np.empty((ndoy, C), ts_np.dtype)
+    out_s = np.empty((ndoy, C), ts_np.dtype)
+    n_events = np.zeros(C, np.int32)
+    tables = None
+    extras = {}
+    dropped = 0
+    K = _cap(_round_k(int(k_min))) if k_min else None
+    for lo in runner.blocks():
+        x = runner.device_block(main_np, lo)
+        xc = x if same_clim else runner.device_block(clim_np, lo)
+        xneg = _neg_jit(x) if cold_spells else x
+        xcneg = ((xneg if same_clim else _neg_jit(xc))
+                 if cold_spells else xc)
+        if pallas_clim:
+            th, se = _pallas_clim_block(
+                xcneg, starts, lens, ndoy=ndoy, ny=ny, rmax=rmax,
+                pctile=pctile, smooth=smooth, smooth_w=smooth_w,
+                patch_feb29=patch_feb29, interpret=pallas_interpret)
+        else:
+            th, se = clim_kernel(xcneg, gidx, pctile=pctile,
+                                 smooth=smooth, smooth_w=smooth_w,
+                                 patch_feb29=patch_feb29)
+        if det_mask_np is not None:
+            m = runner.device_block(
+                det_mask_np.astype(ts_np.dtype), lo)
+            th = _mask_cols(th, m)
+            se = _mask_cols(se, m)
+        if K is None:
+            n = _count_kernel(_slice_rows(xneg, T), th, doy_pos,
+                              min_duration=min_duration,
+                              join_gaps=join_gaps, max_gap=max_gap,
+                              day0_fillna_quirk=day0_fillna_quirk)
+            K = _cap(_round_k(int(jnp.max(n))))
+        while True:
+            tbl, nev, _ = _detect_sliced(
+                x, th, se, doy_pos, T=T, K=K,
+                min_duration=min_duration, join_gaps=join_gaps,
+                max_gap=max_gap, day0_fillna_quirk=day0_fillna_quirk,
+                use_pallas_scan=use_pallas_scan,
+                pallas_interpret=pallas_interpret, cold=cold_spells)
+            raw_max = int(jnp.max(nev))
+            if raw_max <= K or _cap(_round_k(raw_max)) == K:
+                break
+            K = _cap(_round_k(raw_max))
+        if with_stats or rank_names:
+            xd = (runner.device_block(ts_day_np, lo)
+                  if ts_day_np is not None else x)
+            st = fused_stats_kernel(
+                tbl, xd, th, se, doy_pos, ybod, T=T, nbins=nbins,
+                day_edges=day_edges, count_nans=count_nans,
+                rank_names=tuple(rank_names), cold=cold_spells)
+        else:
+            st = {}
+        # ---- downloads --------------------------------------------------
+        nev = np.asarray(nev)
+        dropped += int(np.maximum(nev - K, 0).sum())
+        hi = min(lo + runner.block, C)
+        wd = hi - lo
+        n_events[lo:hi] = np.minimum(nev, K)[:wd]
+        out_t[:, lo:hi] = np.asarray(th)[:, :wd]
+        out_s[:, lo:hi] = np.asarray(se)[:, :wd]
+        if tables is None:
+            tables = {k: alloc_filled((K, C), _fill_of(v), v.dtype)
+                      for k, v in tbl.items()}
+            for part, d in st.items():
+                rows = {k: alloc_filled(
+                    (v.shape[0], C), 0.0 if str(k).endswith("_days")
+                    else np.nan, np.asarray(v).dtype)
+                    for k, v in d.items()}
+                extras[part] = rows
+        elif next(iter(tables.values())).shape[0] < K:
+            for k, old in tables.items():
+                grown = alloc_filled((K, C), _fill_of(old), old.dtype)
+                grown[:old.shape[0]] = old
+                tables[k] = grown
+            if "rank" in extras:
+                for k, old in extras["rank"].items():
+                    grown = alloc_filled((K, C), np.nan, old.dtype)
+                    grown[:old.shape[0]] = old
+                    extras["rank"][k] = grown
+        for k, v in tbl.items():
+            tables[k][:v.shape[0], lo:hi] = np.asarray(v)[:, :wd]
+        for part, d in st.items():
+            for k, v in d.items():
+                vv = np.asarray(v)
+                extras[part][k][:vv.shape[0], lo:hi] = vv[:, :wd]
+
+    if dropped:
+        from ..utils import logger
+
+        logger.warning(
+            "k_cap=%d truncated the event table: %d event(s) dropped "
+            "across the grid", k_cap, dropped)
+    return out_t, out_s, tables, n_events, extras
+
+
+_neg_jit = jax.jit(jnp.negative)
+
+
+@jax.jit
+def _mask_cols(a, m):
+    """NaN out columns where the 0/1 mask (NaN-padded) is not 1."""
+    return jnp.where(m[None, :] == 1, a, jnp.asarray(jnp.nan, a.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("T",))
+def _slice_rows(a, T):
+    return jax.lax.slice_in_dim(a, 0, T, axis=0)
+
+
 def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
                max_gap, intermediate=False, block=None, mesh=None,
                k_cap=None, day0_fillna_quirk=False, use_pallas=None,

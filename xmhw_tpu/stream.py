@@ -32,7 +32,7 @@ from .xrlite import TimeIndex, encode_cf_time
 from .xrlite.alloc import alloc_filled
 
 __all__ = ["stream_threshold", "stream_detect", "stream_block_average",
-           "stream_rank", "GridReader"]
+           "stream_rank", "stream_run", "GridReader"]
 
 _TIME_LIKE = ("time_start", "time_end", "time_peak")
 
@@ -300,6 +300,63 @@ def _encode_times(idx, time_vals, units, cal):
     return np.where(idx >= 0, raw, np.nan)
 
 
+def _write_table_file(out_path, stripes, names, g, ev_dim, ev_vals,
+                      union, time_vals, units, cal, global_attrs, rows,
+                      row_cells, attrs_of=None, dtype_of=None):
+    """Phase-B writer shared by stream_detect / stream_run: scatter the
+    per-stripe compact (K_b, n_keep) tables into the (ev|events, grid)
+    file layout.
+
+    ``stripes``: list of (lo, hi, keep, tables, labels) — ``labels``
+    (the per-slot event ids) drive the union-layout scatter and may be
+    None for compact layouts. ``attrs_of(name)`` / ``dtype_of(name,
+    arr)`` customize variable attrs and storage dtypes.
+    """
+    E = len(ev_vals)
+    dim_coords = {ev_dim: (ev_vals, {})}
+    for d in g.grid_dims:
+        dim_coords[d] = g.coord(d)
+    w = _Writer(out_path, dim_coords, global_attrs=global_attrs)
+    some = next((s for s in stripes if s[3]), None)
+    out_vars = {}
+    for name in names:
+        if dtype_of is not None:
+            dt = dtype_of(name, some[3][name] if some else None)
+        else:
+            dt = (np.float64 if name in _TIME_LIKE
+                  else some[3][name].dtype)
+        out_vars[name] = w.create(
+            name, (ev_dim, *g.grid_dims), np.dtype(dt).str,
+            attrs_of(name) if attrs_of is not None else {},
+            chunks=(max(1, min(E, 4096)), 1, *g.grid_shape[1:]))
+    buf = alloc_filled((max(E, 1), rows * row_cells), np.nan, np.float64)
+    for lo, hi, keep, tables, labels in stripes:
+        c_str = (hi - lo) * row_cells
+        if union is not None and keep.size:
+            fin = np.isfinite(labels)
+            rr = np.searchsorted(union, labels[fin].astype(np.int64))
+            cc = np.broadcast_to(keep, labels.shape)[fin]
+        for name in names:
+            view = buf[:E, :c_str]
+            view.fill(np.nan)
+            if keep.size:
+                tab = tables[name]
+                if name in _TIME_LIKE:
+                    tab = _encode_times(tab.astype(np.int64),
+                                        time_vals, units, cal)
+                if union is not None:
+                    # 2-D fancy indexing writes through the view; a
+                    # flat reshape of the non-contiguous view (when
+                    # this is a partial final stripe) would COPY and
+                    # silently drop the writes
+                    view[rr, cc] = tab[fin]
+                else:
+                    view[:tab.shape[0], keep] = tab
+            out_vars[name][:, lo:hi] = view.reshape(
+                E, hi - lo, *g.grid_shape[1:])
+    w.close()
+
+
 def stream_detect(
     ts_path,
     var,
@@ -434,29 +491,17 @@ def stream_detect(
                      if label_union else np.zeros(0, np.int64))
             ev_dim, ev_vals = "events", union
         else:
+            union = None
             ev_dim, ev_vals = "ev", np.arange(kmax)
-        E = len(ev_vals)
-        dim_coords = {ev_dim: (ev_vals, {})}
-        for d in g.grid_dims:
-            dim_coords[d] = g.coord(d)
-        w = _Writer(out_path, dim_coords, global_attrs={
-            "xmhw_parameters": detect_params_attr(
-                minDuration, joinGaps, maxGap, coldSpells, maxPadLength,
-                anynans),
-            "source": "xmhw_tpu stream_detect",
-        })
         some = next((s for s in stripes if s[3]), None)
         if some is None:
-            w.close()
             raise XmhwException("All points of grid are either land or NaN")
         names = list(some[3].keys())
         u = g.attrs.get("units", "degree_C")
         if isinstance(u, bytes):
             u = u.decode("utf-8", "replace")
-        out_vars = {}
-        for name in names:
-            dt = (np.float64 if name in _TIME_LIKE
-                  else some[3][name].dtype)
+
+        def _attrs_of(name):
             attrs = {}
             if name in MHW_VAR_ATTRS:
                 long_name, unit_t = MHW_VAR_ATTRS[name]
@@ -464,37 +509,18 @@ def stream_detect(
                          "units": str(unit_t).format(u=str(u))}
             if name in _TIME_LIKE and units:
                 attrs.update(units=units, calendar=cal)
-            out_vars[name] = w.create(
-                name, (ev_dim, *g.grid_dims), np.dtype(dt).str, attrs,
-                chunks=(max(1, min(E, 4096)), 1, *g.grid_shape[1:]))
-        buf = alloc_filled((max(E, 1), rows * row_cells), np.nan,
-                           np.float64)
-        for lo, hi, keep, tables in stripes:
-            c_str = (hi - lo) * row_cells
-            if events_layout == "union" and keep.size:
-                lab = tables["event"]
-                fin = np.isfinite(lab)
-                rr = np.searchsorted(union, lab[fin].astype(np.int64))
-                cc = np.broadcast_to(keep, lab.shape)[fin]
-            for name in names:
-                view = buf[:E, :c_str]
-                view.fill(np.nan)
-                if keep.size:
-                    tab = tables[name]
-                    if name in _TIME_LIKE:
-                        tab = _encode_times(tab.astype(np.int64),
-                                            time_vals, units, cal)
-                    if events_layout == "union":
-                        # 2-D fancy indexing writes through the view; a
-                        # flat reshape of the non-contiguous view (when
-                        # this is a partial final stripe) would COPY and
-                        # silently drop the writes
-                        view[rr, cc] = tab[fin]
-                    else:
-                        view[:tab.shape[0], keep] = tab
-                out_vars[name][:, lo:hi] = view.reshape(
-                    E, hi - lo, *g.grid_shape[1:])
-        w.close()
+            return attrs
+
+        _write_table_file(
+            out_path,
+            [(lo, hi, keep, tables, tables.get("event"))
+             for lo, hi, keep, tables in stripes],
+            names, g, ev_dim, ev_vals, union, time_vals, units, cal,
+            {"xmhw_parameters": detect_params_attr(
+                minDuration, joinGaps, maxGap, coldSpells, maxPadLength,
+                anynans),
+             "source": "xmhw_tpu stream_detect"},
+            rows, row_cells, attrs_of=_attrs_of)
         if iw is not None:
             iw.close()
     if intermediate:
@@ -823,6 +849,353 @@ def stream_rank(
         wp.close()
         gm.close()
     return rank_path, return_path
+
+
+def stream_run(
+    ts_path,
+    var,
+    clim_path,
+    mhw_path,
+    block_path=None,
+    rank_path=None,
+    return_path=None,
+    tdim="time",
+    climatologyPeriod=[None, None],
+    pctile=90,
+    windowHalfWidth=5,
+    smoothPercentile=True,
+    smoothPercentileWidth=31,
+    maxPadLength=None,
+    coldSpells=False,
+    tstep=False,
+    anynans=False,
+    skipna=False,
+    minDuration=5,
+    joinGaps=True,
+    maxGap=2,
+    blockLength=1,
+    removeMissing=False,
+    stripe=None,
+    cell_block=None,
+    events_layout="compact",
+    dtype=np.float32,
+    reference_quirks=False,
+):
+    """The SINGLE-PASS planet-scale pipeline: climatology + detection +
+    year-block statistics + event ranks, file-to-file, reading and
+    uploading every grid stripe exactly ONCE.
+
+    The reference's documented workflow stages threshold -> detect ->
+    block_average -> mhw_rank through intermediate NetCDF files
+    (reference: docs/gettingstarted.rst:158-188, docs/dask.rst:44-86),
+    which re-reads — and on an accelerator re-uploads — the same SST
+    series at every stage. This function is its TPU-native collapse:
+    each stripe's series is shipped to the device once and the whole
+    stack (core.pipeline.run_fused) runs on device-resident data; only
+    compact results come back. The staged functions
+    (:func:`stream_threshold` ... :func:`stream_rank`) remain available
+    and produce identical files — tests assert it.
+
+    Outputs: ``clim_path`` (thresh/seas), ``mhw_path`` (event tables;
+    ``events_layout`` as in :func:`stream_detect`), and optionally
+    ``block_path`` (block_average with per-day ts/category stats) and
+    ``rank_path``/``return_path`` (mhw_rank ranks + return periods).
+    Returns a dict of the written paths.
+    """
+    if smoothPercentileWidth % 2 == 0:
+        raise XmhwException("smoothPercentileWidth should be odd")
+    if maxGap >= minDuration:
+        raise XmhwException(
+            "Maximum gap between mhw events should"
+            + " be smaller than event minimum duration")
+    if rank_path is not None and return_path is None:
+        return_path = (rank_path[:-3] + "_return.nc"
+                       if rank_path.endswith(".nc")
+                       else rank_path + "_return.nc")
+
+    from .core.features_scan import RANK_VARS
+    from .core.pipeline import run_fused
+    from .core.stats import EVENT_AGGS, day_block_edges
+
+    with GridReader(ts_path, var, lead_dim=tdim) as g:
+        tindex, _ = g.coord(tdim)
+        if not isinstance(tindex, TimeIndex):
+            raise XmhwException(f"{tdim} must be a CF time coordinate")
+        if get_calendar(tindex) == 360.0:
+            tstep = True
+        doy, ndoy = compute_doy(tindex, keep_tstep=tstep)
+        doy_pos = (doy - 1).astype(np.int32)
+        T = len(doy)
+        time_vals = tindex.values
+        units = getattr(tindex, "encoding", {}).get("units")
+        cal = getattr(tindex, "encoding", {}).get("calendar", "standard")
+        years = np.asarray(tindex.year)
+
+        t_sel = None
+        doy_clim = doy
+        if all(climatologyPeriod):
+            idx = np.nonzero((years >= int(climatologyPeriod[0]))
+                             & (years <= int(climatologyPeriod[1])))[0]
+            t_sel = slice(int(idx[0]), int(idx[-1]) + 1)
+            doy_clim, ndoy_c = compute_doy(
+                TimeIndex(time_vals[t_sel]), keep_tstep=tstep)
+            if ndoy_c != ndoy:
+                raise XmhwException(
+                    "climatologyPeriod subset has a different doy axis "
+                    f"length ({ndoy_c}) than the full series ({ndoy})")
+        clim_y0 = int(years[t_sel][0]) if t_sel else int(years[0])
+        clim_y1 = int(years[t_sel][-1]) if t_sel else int(years[-1])
+
+        with_stats = block_path is not None
+        nbins = 0
+        day_edges = None
+        ybod = None
+        if with_stats:
+            bins = np.arange(int(years[0]), int(years[-1])
+                             + blockLength + 1, blockLength)
+            nbins = len(bins) - 1
+            ybod = (np.searchsorted(bins, years, side="right")
+                    - 1).astype(np.int32)
+            ybod[(ybod < 0) | (ybod >= nbins)] = -1
+            day_edges = day_block_edges(years, bins)
+        rank_names = RANK_VARS if rank_path is not None else ()
+
+        rows = stripe or _auto_stripe(T, g.grid_shape)
+        row_cells = int(np.prod(g.grid_shape[1:], dtype=np.int64)) or 1
+
+        # ---- incremental writers (clim + block) -------------------------
+        u = g.attrs.get("units", "degree_C")
+        if isinstance(u, bytes):
+            u = u.decode("utf-8", "replace")
+        u = str(u)
+        dimc = {"doy": (np.arange(1, ndoy + 1), {})}
+        for d in g.grid_dims:
+            dimc[d] = g.coord(d)
+        cw = _Writer(clim_path, dimc, global_attrs={
+            "xmhw_parameters": threshold_params_attr(
+                pctile, clim_y0, clim_y1, windowHalfWidth, skipna,
+                smoothPercentile, smoothPercentileWidth, anynans),
+            "source": "xmhw_tpu stream_run"})
+        clim_vars = {
+            "thresh": cw.create("thresh", ("doy", *g.grid_dims),
+                                np.dtype(dtype).str,
+                                {"long_name":
+                                 f"{pctile}th percentile threshold",
+                                 "units": u}),
+            "seas": cw.create("seas", ("doy", *g.grid_dims),
+                              np.dtype(dtype).str,
+                              {"long_name": "climatological mean",
+                               "units": u}),
+        }
+        bw = None
+        if with_stats:
+            bdimc = {"years": (bins[:-1].astype(np.int64),
+                               {"long_name": "start year of block",
+                                "block_length": blockLength})}
+            for d in g.grid_dims:
+                bdimc[d] = g.coord(d)
+            bw = _Writer(block_path, bdimc, global_attrs={
+                "source": "xmhw_tpu stream_run block_average"})
+            blk_names = [n for n, _, _ in EVENT_AGGS] + [
+                "ts_mean", "ts_max", "ts_min", "moderate_days",
+                "strong_days", "severe_days", "extreme_days",
+                "total_days"]
+            blk_vars = {n: bw.create(n, ("years", *g.grid_dims), "f8")
+                        for n in blk_names}
+            bbuf = alloc_filled((nbins, rows * row_cells), np.nan,
+                                np.float64)
+        cbuf = alloc_filled((ndoy, rows * row_cells), np.nan, dtype)
+
+        # ---- phase A: one fused pass per stripe -------------------------
+        stripes = []        # (lo, hi, keep_det, tables, labels)
+        rank_stripes = []   # (lo, hi, keep_det, ranks, labels)
+        kmax = 1
+        label_union = []
+        smin = emax = None  # event time extremes for nYears
+        for lo in range(0, g.grid_shape[0], rows):
+            hi = min(lo + rows, g.grid_shape[0])
+            c_str = (hi - lo) * row_cells
+            block = g.read(lo, hi).astype(dtype, copy=False)
+            # detection drops any-NaN cells under ``anynans``, but the
+            # per-day stats half keeps them (the staged block_average
+            # land-checks the raw SST with the all-NaN rule): compact
+            # with the all-NaN rule, run everything on that superset,
+            # and mask detect-side outputs to the anynans-kept subset
+            comp, keep_all = _compact_ocean(block, False)
+            if anynans:
+                det_in_all = ~np.isnan(comp).any(axis=0)
+            else:
+                det_in_all = np.ones(keep_all.size, bool)
+            keep_det = keep_all[det_in_all]
+            if keep_all.size == 0:
+                stripes.append((lo, hi, keep_det, {}, None))
+                if rank_path is not None:
+                    rank_stripes.append((lo, hi, keep_det, {}, None))
+                for name, node in clim_vars.items():
+                    view = cbuf[:, :c_str]
+                    view.fill(np.nan)
+                    node[:, lo:hi] = view.reshape(
+                        ndoy, hi - lo, *g.grid_shape[1:])
+                if with_stats:
+                    for name in blk_names:
+                        view = bbuf[:, :c_str]
+                        view.fill(0.0 if name in ("ecount", "total_icum")
+                                  or name.endswith("_days") else np.nan)
+                        if removeMissing:
+                            view.fill(np.nan)
+                        blk_vars[name][:, lo:hi] = view.reshape(
+                            nbins, hi - lo, *g.grid_shape[1:])
+                continue
+            comp_i = comp
+            ts_day = None
+            if maxPadLength:
+                from .api import _interpolate_na
+
+                comp_i = _interpolate_na(comp, maxPadLength)
+                ts_day = comp
+            ts_clim = comp_i[t_sel] if t_sel is not None else None
+            th, se, tables, nev, extras = run_fused(
+                comp_i, doy, doy_pos, w=windowHalfWidth, ndoy=ndoy,
+                pctile=pctile, smooth=smoothPercentile,
+                smooth_w=smoothPercentileWidth, patch_feb29=not tstep,
+                min_duration=minDuration, join_gaps=joinGaps,
+                max_gap=maxGap, day0_fillna_quirk=reference_quirks,
+                cold_spells=coldSpells, ts_clim_np=ts_clim,
+                doy_clim_np=doy_clim if t_sel is not None else None,
+                ts_day_np=ts_day, ybod_np=ybod, nbins=nbins,
+                day_edges=day_edges, count_nans=removeMissing,
+                rank_names=rank_names,
+                det_mask_np=det_in_all if anynans else None,
+                block=cell_block, k_min=kmax)
+            if coldSpells:
+                # flip_cold on the host tables (device stats/ranks were
+                # flipped inside the kernel; reference:
+                # xmhw/features.py:298-315)
+                for k in tables:
+                    if "intensity" in k and "_var" not in k:
+                        tables[k] = -tables[k]
+            tables = {k: v[:, det_in_all] for k, v in tables.items()}
+            labels = tables["event"]
+            kmax = max(kmax, labels.shape[0])
+            if events_layout == "union":
+                fin = np.isfinite(labels)
+                if fin.any():
+                    label_union.append(np.unique(labels[fin]))
+            stripes.append((lo, hi, keep_det, tables, labels))
+            if rank_path is not None:
+                ranks = {k: v[:, det_in_all]
+                         for k, v in extras["rank"].items()}
+                rank_stripes.append((lo, hi, keep_det, ranks, labels))
+            ts_det = tables["time_start"]
+            te_det = tables["time_end"]
+            vmask = ts_det >= 0
+            if vmask.any():
+                s0 = int(ts_det[vmask].min())
+                e1 = int(te_det[vmask].max())
+                smin = s0 if smin is None else min(smin, s0)
+                emax = e1 if emax is None else max(emax, e1)
+
+            # clim: written at the anynans-kept cells only (parity with
+            # stream_threshold's compaction)
+            for name, vals in (("thresh", th), ("seas", se)):
+                view = cbuf[:, :c_str]
+                view.fill(np.nan)
+                view[:, keep_det] = vals[:, det_in_all]
+                clim_vars[name][:, lo:hi] = view.reshape(
+                    ndoy, hi - lo, *g.grid_shape[1:])
+
+            if with_stats:
+                day = extras["day"]
+                blk = extras["block"]
+                nan_days = (np.asarray(day["nan_days"])
+                            if removeMissing else None)
+                for name in blk_names:
+                    view = bbuf[:, :c_str]
+                    if name in day:
+                        view.fill(0.0 if name.endswith("_days")
+                                  else np.nan)
+                        view[:, keep_all] = day[name]
+                    else:
+                        # empty-bin/land semantics of the event half:
+                        # counts and sums are 0, means/maxes NaN
+                        view.fill(0.0 if name in ("ecount", "total_icum")
+                                  else np.nan)
+                        view[:, keep_det] = blk[name][:, det_in_all]
+                    if removeMissing:
+                        mask = np.ones((nbins, c_str), bool)
+                        mask[:, keep_all] = nan_days > 0
+                        view[mask] = np.nan
+                    blk_vars[name][:, lo:hi] = view.reshape(
+                        nbins, hi - lo, *g.grid_shape[1:])
+        cw.close()
+        if bw is not None:
+            bw.close()
+
+        # ---- phase B: event-table files ---------------------------------
+        if events_layout == "union":
+            union = (np.unique(np.concatenate(label_union))
+                     .astype(np.int64) if label_union
+                     else np.zeros(0, np.int64))
+            ev_dim, ev_vals = "events", union
+        else:
+            union = None
+            ev_dim, ev_vals = "ev", np.arange(kmax)
+        some = next((s for s in stripes if s[3]), None)
+        if some is None:
+            raise XmhwException("All points of grid are either land or NaN")
+        names = list(some[3].keys())
+
+        def _attrs_of(name):
+            attrs = {}
+            if name in MHW_VAR_ATTRS:
+                long_name, unit_t = MHW_VAR_ATTRS[name]
+                attrs = {"long_name": long_name,
+                         "units": str(unit_t).format(u=u)}
+            if name in _TIME_LIKE and units:
+                attrs.update(units=units, calendar=cal)
+            return attrs
+
+        _write_table_file(
+            mhw_path, stripes, names, g, ev_dim, ev_vals, union,
+            time_vals, units, cal,
+            {"xmhw_parameters": detect_params_attr(
+                minDuration, joinGaps, maxGap, coldSpells, maxPadLength,
+                anynans),
+             "source": "xmhw_tpu stream_run"},
+            rows, row_cells, attrs_of=_attrs_of)
+        out = {"clim": clim_path, "mhw": mhw_path}
+        if with_stats:
+            out["block"] = block_path
+        if rank_path is not None:
+            # nYears exactly as stream_rank derives it from the written
+            # mhw file (record span; reference: stats.py:477-478)
+            if smin is None:
+                nYears = 14245 / 365.25
+            else:
+                idx = np.array([[smin], [emax]], np.int64)
+                enc = _encode_times(idx, time_vals, units, cal)
+                tattrs = ({"units": units, "calendar": cal}
+                          if units else {})
+                nYears = _record_nyears(enc[0], enc[1], tattrs)
+            _write_table_file(
+                rank_path, rank_stripes, list(rank_names), g, ev_dim,
+                ev_vals, union, time_vals, units, cal,
+                {"source": "xmhw_tpu stream_run ranks",
+                 "nYears": nYears},
+                rows, row_cells, dtype_of=lambda n, a: "f4")
+            ret_stripes = [
+                (lo, hi, keep, {k: (nYears + 1) / v
+                                for k, v in tabs.items()}, lab)
+                for lo, hi, keep, tabs, lab in rank_stripes]
+            _write_table_file(
+                return_path, ret_stripes, list(rank_names), g, ev_dim,
+                ev_vals, union, time_vals, units, cal,
+                {"source": "xmhw_tpu stream_run return periods",
+                 "nYears": nYears},
+                rows, row_cells, dtype_of=lambda n, a: "f4")
+            out["rank"] = rank_path
+            out["return"] = return_path
+    return out
 
 
 def _make_inter_writer(inter_path, tindex, g, tdim, inter):
