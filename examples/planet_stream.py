@@ -1,10 +1,15 @@
-"""Planet-scale streamed threshold+detect demonstration.
+"""Planet-scale streamed pipeline demonstration.
 
-Generates a synthetic multi-GB SST grid on disk, then runs the streamed
-pipeline (xmhw_tpu.stream) end-to-end file-to-file, reporting wall time
-and peak host RSS — host memory stays O(time x stripe) regardless of
-grid size (the automated version of the reference's manual split
-workflow, reference: docs/dask.rst:44-86).
+Generates a synthetic multi-GB SST grid on disk, then runs BOTH
+streamed pipelines end-to-end file-to-file, reporting wall time and
+peak host RSS — host memory stays O(time x stripe) regardless of grid
+size (the automated version of the reference's manual split workflow,
+reference: docs/dask.rst:44-86):
+
+* staged: stream_threshold + stream_detect (the reference's staged
+  workflow shape), and
+* fused: stream_run — climatology + detection + year-block stats +
+  ranks in ONE pass over the file (one upload per stripe).
 
 Usage:  python examples/planet_stream.py [ny] [nx] [years]
 Defaults are a reduced grid (96 x 96 x 10 yr ~ 1.3 GB); the full
@@ -97,6 +102,20 @@ def main(ny=96, nx=96, years=10, layout="compact"):
     cells = int(ny * nx)
     print(f"events found: {n}; {cells / (t3 - t1):.0f} cells/s end-to-end "
           f"(threshold+detect, file-to-file)")
+
+    # fused single pass: same outputs plus block stats + ranks, ONE
+    # read + ONE upload of the data (docs/streaming.md)
+    t4 = time.time()
+    xm.stream_run(sst, "sst",
+                  os.path.join(base, "f_clim.nc"),
+                  os.path.join(base, "f_mhw.nc"),
+                  block_path=os.path.join(base, "f_block.nc"),
+                  rank_path=os.path.join(base, "f_rank.nc"),
+                  events_layout=layout)
+    t5 = time.time()
+    print(f"stream_run (fused, + block stats + ranks): {t5 - t4:.0f}s "
+          f"(rss {rss_gb():.1f} GB); staged threshold+detect alone was "
+          f"{t3 - t1:.0f}s")
 
 
 if __name__ == "__main__":

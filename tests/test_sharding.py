@@ -92,6 +92,77 @@ def test_pallas_clim_under_shard_map():
     np.testing.assert_allclose(se_p, se_x, atol=1e-5, equal_nan=True)
 
 
+def test_run_fused_mesh_matches_single():
+    """The fused single-pass engine (clim+detect+stats+rank) under the
+    8-device mesh matches its single-device outputs — XLA branch
+    (auto-partition) and the exact stats-kernel sharding stream_run
+    uses."""
+    import xmhw_tpu.core.pipeline as P
+    from xmhw_tpu.core.calendar import compute_doy
+    from xmhw_tpu.core.stats import day_block_edges
+    from xmhw_tpu.xrlite import TimeIndex
+
+    rng = np.random.default_rng(5)
+    t = np.arange("2001-01-01", "2004-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")
+    T = len(t)
+    ti = TimeIndex(t)
+    doy, ndoy = compute_doy(ti)
+    doy_pos = (doy - 1).astype(np.int32)
+    C = 64
+    ts = np.round(rng.normal(15, 3, (T, C)), 2).astype(np.float64)
+    years = np.asarray(ti.year)
+    bins = np.arange(years[0], years[-1] + 2)
+    nbins = len(bins) - 1
+    ybod = (np.searchsorted(bins, years, side="right") - 1).astype(
+        np.int32)
+    edges = day_block_edges(years, bins)
+    kw = dict(w=5, ndoy=ndoy, ybod_np=ybod, nbins=nbins,
+              day_edges=edges, rank_names=("intensity_max", "duration"))
+    a = P.run_fused(ts, doy, doy_pos, **kw)
+    b = P.run_fused(ts, doy, doy_pos, mesh=cell_mesh(), block=32, **kw)
+    np.testing.assert_array_equal(np.nan_to_num(a[0]),
+                                  np.nan_to_num(b[0]))
+    np.testing.assert_array_equal(a[3], b[3])
+    for k in a[2]:
+        np.testing.assert_array_equal(np.nan_to_num(a[2][k], nan=-9),
+                                      np.nan_to_num(b[2][k], nan=-9),
+                                      err_msg=k)
+    for part in ("block", "day", "rank"):
+        for k in a[4][part]:
+            np.testing.assert_allclose(a[4][part][k], b[4][part][k],
+                                       atol=1e-12, equal_nan=True,
+                                       err_msg=f"{part}/{k}")
+
+
+def test_run_fused_pallas_under_shard_map():
+    """run_fused's Pallas clim+detect branches under the 8-device mesh
+    (interpret mode) match the XLA single-device path."""
+    import xmhw_tpu.core.pipeline as P
+    from xmhw_tpu.core.calendar import compute_doy
+    from xmhw_tpu.xrlite import TimeIndex
+
+    rng = np.random.default_rng(6)
+    t = np.arange("2001-01-01", "2003-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")
+    doy, ndoy = compute_doy(TimeIndex(t))
+    doy_pos = (doy - 1).astype(np.int32)
+    C = 1024
+    ts = np.round(rng.normal(15, 3, (len(t), C)), 2).astype(np.float32)
+    a = P.run_fused(ts, doy, doy_pos, w=5, ndoy=ndoy, use_pallas=False)
+    b = P.run_fused(ts, doy, doy_pos, w=5, ndoy=ndoy, mesh=cell_mesh(),
+                    block=512, use_pallas=True, pallas_interpret=True)
+    np.testing.assert_allclose(a[0], b[0], atol=1e-5, equal_nan=True)
+    np.testing.assert_array_equal(a[3], b[3])
+    for v in ("event", "duration", "time_start"):
+        np.testing.assert_array_equal(
+            np.nan_to_num(a[2][v], nan=-9),
+            np.nan_to_num(b[2][v], nan=-9), err_msg=v)
+    for v in ("intensity_max", "rate_onset"):
+        np.testing.assert_allclose(a[2][v], b[2][v], atol=2e-4,
+                                   rtol=2e-4, equal_nan=True, err_msg=v)
+
+
 def test_pallas_detect_under_shard_map():
     """The Pallas detect-scan path wrapped in shard_map over the 8-device
     mesh (interpret mode) matches the XLA path — exercises the exact

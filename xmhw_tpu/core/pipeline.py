@@ -140,21 +140,16 @@ def run_clim(ts_np: np.ndarray, doy_np: np.ndarray, w: int, ndoy: int,
         starts = runner.device_replicated(starts_np.reshape(-1))
         lens = runner.device_replicated(lens_np.reshape(-1))
 
-        fn = functools.partial(
-            _pallas_clim_block, ndoy=ndoy, ny=ny, rmax=rmax,
-            pctile=pctile, smooth=smooth, smooth_w=smooth_w,
-            patch_feb29=patch_feb29, interpret=pallas_interpret)
         if runner.mesh is not None:
-            from jax import shard_map
-            from jax.sharding import PartitionSpec as P
-
-            from ..parallel.mesh import CELL_AXIS
-
-            fn = jax.jit(shard_map(
-                fn, mesh=runner.mesh,
-                in_specs=(P(None, CELL_AXIS), P(), P()),
-                out_specs=(P(None, CELL_AXIS), P(None, CELL_AXIS)),
-                check_vma=False))
+            fn = _sharded_pallas_clim(
+                runner.mesh, ndoy=ndoy, ny=ny, rmax=rmax, pctile=pctile,
+                smooth=smooth, smooth_w=smooth_w,
+                patch_feb29=patch_feb29, interpret=pallas_interpret)
+        else:
+            fn = functools.partial(
+                _pallas_clim_block, ndoy=ndoy, ny=ny, rmax=rmax,
+                pctile=pctile, smooth=smooth, smooth_w=smooth_w,
+                patch_feb29=patch_feb29, interpret=pallas_interpret)
         for lo in runner.blocks():
             ts = runner.device_block(ts_pad, lo)
             th, se = fn(ts, starts, lens)
@@ -218,6 +213,41 @@ def _round_k(k: int) -> int:
     if k <= 32:
         return 32
     return 1 << (k - 1).bit_length()
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_pallas_clim(mesh, **static_kw):
+    """_pallas_clim_block wrapped in shard_map, cached per
+    (mesh, statics) — shared by run_clim and run_fused."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import CELL_AXIS
+
+    fn = functools.partial(_pallas_clim_block, **static_kw)
+    return jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, CELL_AXIS), P(), P()),
+        out_specs=(P(None, CELL_AXIS), P(None, CELL_AXIS)),
+        check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_detect_sliced(mesh, **static_kw):
+    """_detect_sliced wrapped in shard_map for run_fused's Pallas-scan
+    branch under a mesh, cached per (mesh, statics)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import CELL_AXIS
+
+    fn = functools.partial(_detect_sliced, **static_kw)
+    cells2d = P(None, CELL_AXIS)
+    return jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=(cells2d, cells2d, cells2d, P()),
+        out_specs=(cells2d, P(CELL_AXIS), cells2d),
+        check_vma=False))
 
 
 @functools.lru_cache(maxsize=None)
@@ -330,8 +360,8 @@ def run_fused(ts_np, doy_np, doy_pos_np, *, w=5, ndoy=366, pctile=90,
               cold_spells=False, ts_clim_np=None, doy_clim_np=None,
               ts_day_np=None, ybod_np=None, nbins=0, day_edges=None,
               count_nans=False, rank_names=(), det_mask_np=None,
-              block=None, k_min=None, k_cap=None, use_pallas=None,
-              pallas_interpret=False):
+              block=None, mesh=None, k_min=None, k_cap=None,
+              use_pallas=None, pallas_interpret=False):
     """Single-upload fused pipeline for all cells: climatology + detect
     + year-block stats + ranks, each cell block shipped to the device
     ONCE and every stage consuming the previous stage's device-resident
@@ -382,9 +412,11 @@ def run_fused(ts_np, doy_np, doy_pos_np, *, w=5, ndoy=366, pctile=90,
         main_np = ts_np
         clim_np = ts_clim_np
 
-    runner = CellRunner(C, T, 2 * w + 1, ndoy, block=block,
+    runner = CellRunner(C, T, 2 * w + 1, ndoy, block=block, mesh=mesh,
                         use_mesh=False)
-    quantum = 128 if (pallas_clim or use_pallas_scan) else 1
+    n_dev = len(runner.mesh.devices.flat) if runner.mesh else 1
+    quantum = (128 * n_dev if (pallas_clim or use_pallas_scan)
+               else n_dev)
     if runner.block % quantum:
         runner.block = -(-runner.block // quantum) * quantum
 
@@ -420,10 +452,16 @@ def run_fused(ts_np, doy_np, doy_pos_np, *, w=5, ndoy=366, pctile=90,
         xcneg = ((xneg if same_clim else _neg_jit(xc))
                  if cold_spells else xc)
         if pallas_clim:
-            th, se = _pallas_clim_block(
-                xcneg, starts, lens, ndoy=ndoy, ny=ny, rmax=rmax,
-                pctile=pctile, smooth=smooth, smooth_w=smooth_w,
+            clim_statics = dict(
+                ndoy=ndoy, ny=ny, rmax=rmax, pctile=pctile,
+                smooth=smooth, smooth_w=smooth_w,
                 patch_feb29=patch_feb29, interpret=pallas_interpret)
+            if runner.mesh is not None:
+                th, se = _sharded_pallas_clim(
+                    runner.mesh, **clim_statics)(xcneg, starts, lens)
+            else:
+                th, se = _pallas_clim_block(xcneg, starts, lens,
+                                            **clim_statics)
         else:
             th, se = clim_kernel(xcneg, gidx, pctile=pctile,
                                  smooth=smooth, smooth_w=smooth_w,
@@ -440,12 +478,18 @@ def run_fused(ts_np, doy_np, doy_pos_np, *, w=5, ndoy=366, pctile=90,
                               day0_fillna_quirk=day0_fillna_quirk)
             K = _cap(_round_k(int(jnp.max(n))))
         while True:
-            tbl, nev, _ = _detect_sliced(
-                x, th, se, doy_pos, T=T, K=K,
-                min_duration=min_duration, join_gaps=join_gaps,
-                max_gap=max_gap, day0_fillna_quirk=day0_fillna_quirk,
+            det_statics = dict(
+                T=T, K=K, min_duration=min_duration,
+                join_gaps=join_gaps, max_gap=max_gap,
+                day0_fillna_quirk=day0_fillna_quirk,
                 use_pallas_scan=use_pallas_scan,
                 pallas_interpret=pallas_interpret, cold=cold_spells)
+            if use_pallas_scan and runner.mesh is not None:
+                tbl, nev, _ = _sharded_detect_sliced(
+                    runner.mesh, **det_statics)(x, th, se, doy_pos)
+            else:
+                tbl, nev, _ = _detect_sliced(x, th, se, doy_pos,
+                                             **det_statics)
             raw_max = int(jnp.max(nev))
             if raw_max <= K or _cap(_round_k(raw_max)) == K:
                 break

@@ -877,6 +877,7 @@ def stream_run(
     removeMissing=False,
     stripe=None,
     cell_block=None,
+    mesh=None,
     events_layout="compact",
     dtype=np.float32,
     reference_quirks=False,
@@ -1066,7 +1067,7 @@ def stream_run(
                 day_edges=day_edges, count_nans=removeMissing,
                 rank_names=rank_names,
                 det_mask_np=det_in_all if anynans else None,
-                block=cell_block, k_min=kmax)
+                block=cell_block, mesh=mesh, k_min=kmax)
             if coldSpells:
                 # flip_cold on the host tables (device stats/ranks were
                 # flipped inside the kernel; reference:
