@@ -1067,7 +1067,11 @@ def stream_run(
                 day_edges=day_edges, count_nans=removeMissing,
                 rank_names=rank_names,
                 det_mask_np=det_in_all if anynans else None,
-                block=cell_block, mesh=mesh, k_min=kmax)
+                block=cell_block, mesh=mesh,
+                # first stripe: let the counting pass set K exactly
+                # (k_min=1 would start at K=32 and pay an overflow
+                # retry + recompile); later stripes reuse the stable K
+                k_min=kmax if kmax > 1 else None)
             if coldSpells:
                 # flip_cold on the host tables (device stats/ranks were
                 # flipped inside the kernel; reference:
