@@ -100,6 +100,86 @@ def fetch_dict(d):
     return out
 
 
+@jax.jit
+def _concat_rows(xs):
+    return jnp.concatenate(xs, axis=0)
+
+
+def fetch_rows(d):
+    """Download a dict of 2-D (rows_i, C) device arrays with ONE
+    transfer per dtype group, concatenating along rows on device first.
+
+    Generalizes :func:`fetch_dict` to heterogeneous row counts (event
+    tables, climatologies, block stats and counters all share the cell
+    axis). The tunnel harness charges a fixed per-transfer cost, so the
+    ~65 per-variable fetches of a fused block collapse to ~2."""
+    groups = {}
+    for k, v in d.items():
+        groups.setdefault(np.dtype(v.dtype), []).append(k)
+    out = {}
+    for dt, ks in groups.items():
+        if len(ks) == 1:
+            out[ks[0]] = np.asarray(d[ks[0]])
+            continue
+        stacked = np.asarray(_concat_rows([d[k] for k in ks]))
+        lo = 0
+        for k in ks:
+            r = d[k].shape[0]
+            out[k] = stacked[lo:lo + r]
+            lo += r
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _slice_cols(a, lo, size):
+    return jax.lax.dynamic_slice_in_dim(a, lo, size, axis=a.ndim - 1)
+
+
+def _pad_rows(a, extra, fill=np.nan):
+    """Append ``extra`` fill rows; pool-backed (vs np.pad's fresh pages)."""
+    from ..xrlite.alloc import alloc_empty
+
+    if not extra:
+        return a
+    out = alloc_empty((a.shape[0] + extra,) + a.shape[1:], a.dtype)
+    out[:a.shape[0]] = a
+    out[a.shape[0]:] = fill
+    return out
+
+
+class _BlockSource:
+    """Per-block device input: either one stripe-wide upload sliced on
+    device (single-device path — saves the fixed per-transfer tunnel
+    cost of every block after the first), or per-block uploads (mesh
+    path, or stripes too large to keep resident)."""
+
+    def __init__(self, runner: CellRunner, arr_np, budget=2e9):
+        from ..xrlite.alloc import alloc_empty
+
+        self.runner = runner
+        self.arr = arr_np
+        self.whole = None
+        if runner.mesh is None and arr_np is not None:
+            n_blocks = -(-runner.n_cells // runner.block)
+            cp = n_blocks * runner.block
+            c = arr_np.shape[-1]
+            if arr_np.nbytes / max(c, 1) * cp <= budget:
+                if cp == c:
+                    padded = arr_np
+                else:
+                    padded = alloc_empty(arr_np.shape[:-1] + (cp,),
+                                         arr_np.dtype)
+                    padded[..., :c] = arr_np
+                    padded[..., c:] = (np.nan if np.issubdtype(
+                        arr_np.dtype, np.floating) else 0)
+                self.whole = jnp.asarray(padded)
+
+    def block(self, lo):
+        if self.whole is None:
+            return self.runner.device_block(self.arr, lo)
+        return _slice_cols(self.whole, lo, self.runner.block)
+
+
 def _use_pallas_clim(dtype, override):
     if override is not None:
         return override
@@ -420,12 +500,10 @@ def run_fused(ts_np, doy_np, doy_pos_np, *, w=5, ndoy=366, pctile=90,
     if pallas_clim:
         starts_np, lens_np, ny, rmax = build_window_ranges(
             doy_clim_np, w, ndoy)
-        main_np = (np.pad(ts_np, ((0, rmax), (0, 0)),
-                          constant_values=np.nan)
+        main_np = (_pad_rows(ts_np, rmax)
                    if same_clim else ts_np)
         clim_np = (main_np if same_clim else
-                   np.pad(ts_clim_np, ((0, rmax), (0, 0)),
-                          constant_values=np.nan))
+                   _pad_rows(ts_clim_np, rmax))
     else:
         gidx_np, Z = build_window_index(doy_clim_np, w, ndoy)
         main_np = ts_np
@@ -464,9 +542,15 @@ def run_fused(ts_np, doy_np, doy_pos_np, *, w=5, ndoy=366, pctile=90,
     extras = {}
     dropped = 0
     K = _cap(_round_k(int(k_min))) if k_min else None
+    main_src = _BlockSource(runner, main_np)
+    clim_src = main_src if same_clim else _BlockSource(runner, clim_np)
+    day_src = (_BlockSource(runner, ts_day_np)
+               if ts_day_np is not None else None)
+    mask_src = (_BlockSource(runner, det_mask_np.astype(ts_np.dtype))
+                if det_mask_np is not None else None)
     for lo in runner.blocks():
-        x = runner.device_block(main_np, lo)
-        xc = x if same_clim else runner.device_block(clim_np, lo)
+        x = main_src.block(lo)
+        xc = x if same_clim else clim_src.block(lo)
         xneg = _neg_jit(x) if cold_spells else x
         xcneg = ((xneg if same_clim else _neg_jit(xc))
                  if cold_spells else xc)
@@ -485,9 +569,8 @@ def run_fused(ts_np, doy_np, doy_pos_np, *, w=5, ndoy=366, pctile=90,
             th, se = clim_kernel(xcneg, gidx, pctile=pctile,
                                  smooth=smooth, smooth_w=smooth_w,
                                  patch_feb29=patch_feb29)
-        if det_mask_np is not None:
-            m = runner.device_block(
-                det_mask_np.astype(ts_np.dtype), lo)
+        if mask_src is not None:
+            m = mask_src.block(lo)
             th = _mask_cols(th, m)
             se = _mask_cols(se, m)
         if K is None:
@@ -514,27 +597,36 @@ def run_fused(ts_np, doy_np, doy_pos_np, *, w=5, ndoy=366, pctile=90,
                 break
             K = _cap(_round_k(raw_max))
         if with_stats or rank_names:
-            xd = (runner.device_block(ts_day_np, lo)
-                  if ts_day_np is not None else x)
+            xd = day_src.block(lo) if day_src is not None else x
             st = fused_stats_kernel(
                 tbl, xd, th, se, doy_pos, ybod, T=T, nbins=nbins,
                 day_edges=day_edges, count_nans=count_nans,
                 rank_names=tuple(rank_names), cold=cold_spells)
         else:
             st = {}
-        # ---- downloads (one stacked transfer per dtype group) ----------
-        nev = np.asarray(nev)
+        # ---- downloads: EVERYTHING in ~2 transfers (one per dtype) -----
+        parts = {("clim", "th"): th, ("clim", "se"): se,
+                 ("nev", "nev"): nev[None, :]}
+        for k, v in tbl.items():
+            parts[("tbl", k)] = v
+        for part, d in st.items():
+            for k, v in d.items():
+                parts[(part, k)] = v
+        fetched = fetch_rows(parts)
+        nev = fetched[("nev", "nev")][0]
+        tbl_h = {k: fetched[("tbl", k)] for k in tbl}
+        st_h = {part: {k: fetched[(part, k)] for k in d}
+                for part, d in st.items()}
         dropped += int(np.maximum(nev - K, 0).sum())
         hi = min(lo + runner.block, C)
         wd = hi - lo
         n_events[lo:hi] = np.minimum(nev, K)[:wd]
-        thse = fetch_dict({"th": th, "se": se})
-        out_t[:, lo:hi] = thse["th"][:, :wd]
-        out_s[:, lo:hi] = thse["se"][:, :wd]
+        out_t[:, lo:hi] = fetched[("clim", "th")][:, :wd]
+        out_s[:, lo:hi] = fetched[("clim", "se")][:, :wd]
         if tables is None:
             tables = {k: alloc_filled((K, C), _fill_of(v), v.dtype)
-                      for k, v in tbl.items()}
-            for part, d in st.items():
+                      for k, v in tbl_h.items()}
+            for part, d in st_h.items():
                 rows = {k: alloc_filled(
                     (v.shape[0], C), 0.0 if str(k).endswith("_days")
                     else np.nan, v.dtype)
@@ -550,10 +642,10 @@ def run_fused(ts_np, doy_np, doy_pos_np, *, w=5, ndoy=366, pctile=90,
                     grown = alloc_filled((K, C), np.nan, old.dtype)
                     grown[:old.shape[0]] = old
                     extras["rank"][k] = grown
-        for k, v in fetch_dict(tbl).items():
+        for k, v in tbl_h.items():
             tables[k][:v.shape[0], lo:hi] = v[:, :wd]
-        for part, d in st.items():
-            for k, v in fetch_dict(d).items():
+        for part, d in st_h.items():
+            for k, v in d.items():
                 extras[part][k][:v.shape[0], lo:hi] = v[:, :wd]
 
     if dropped:

@@ -29,7 +29,7 @@ from .core.calendar import compute_doy, get_calendar
 from .core.pipeline import run_clim, run_detect
 from .exception import XmhwException
 from .xrlite import TimeIndex, encode_cf_time
-from .xrlite.alloc import alloc_filled
+from .xrlite.alloc import alloc_empty, alloc_filled, tune_malloc
 
 __all__ = ["stream_threshold", "stream_detect", "stream_block_average",
            "stream_rank", "stream_run", "GridReader"]
@@ -100,14 +100,21 @@ class GridReader:
         return vals, attrs
 
     def read(self, lo, hi, t_sel=slice(None)):
-        """(T, cells) float stripe of grid rows [lo, hi)."""
-        block = self.v[(t_sel, slice(lo, hi))]
+        """(T, cells) float stripe of grid rows [lo, hi).
+
+        The destination comes from the warm-page pool (xrlite/alloc.py)
+        — per-stripe GB-scale fresh allocations dominate host time on
+        slow-page-supply hosts."""
+        sel = (t_sel, slice(lo, hi)) + (slice(None),) * (self.v.ndim - 2)
+        shape = tuple(len(range(*s.indices(n)))
+                      for s, n in zip(sel, self.v.shape))
+        block = alloc_empty(shape, self.v.dtype)
+        self.v.read_direct(block, np.s_[sel])
         fv = self.v.attrs.get("_FillValue")
-        block = np.asarray(block)
         if fv is not None and np.issubdtype(block.dtype, np.floating):
             fv = np.asarray(fv).item()
             if not np.isnan(fv):
-                block = np.where(block == fv, np.nan, block)
+                np.copyto(block, np.nan, where=block == fv)
         return block.reshape(block.shape[0], -1)
 
     def close(self):
@@ -186,13 +193,15 @@ class _Writer:
 def _compact_ocean(block, anynans=False):
     """Drop all-NaN (land) columns — or any-NaN columns with ``anynans``
     (reference land_check: identify.py:522-525); returns
-    (compacted, keep_idx)."""
+    (compacted, keep_idx). The compacted copy is pool-backed."""
     nan = np.isnan(block)
     drop = nan.any(axis=0) if anynans else nan.all(axis=0)
     keep = np.nonzero(~drop)[0]
     if keep.size == block.shape[1]:
         return block, keep
-    return np.ascontiguousarray(block[:, keep]), keep
+    out = alloc_empty((block.shape[0], keep.size), block.dtype)
+    np.take(block, keep, axis=1, out=out)
+    return out, keep
 
 
 def stream_threshold(
@@ -220,6 +229,7 @@ def stream_threshold(
     Same semantics as :func:`xmhw_tpu.threshold` (reference:
     xmhw/xmhw.py:38-247); returns the output path.
     """
+    tune_malloc()
     if smoothPercentileWidth % 2 == 0:
         raise XmhwException("smoothPercentileWidth should be odd")
     with GridReader(in_path, var, lead_dim=tdim) as g:
@@ -405,6 +415,7 @@ def stream_detect(
     per-day variables are stored as int8 (land cells 0); float variables
     carry NaN on land like the in-memory API.
     """
+    tune_malloc()
     if maxGap >= minDuration:
         raise XmhwException(
             "Maximum gap between mhw events should"
@@ -562,6 +573,7 @@ def stream_block_average(
     from .core.stats import (EVENT_AGGS, EVENT_VARS, binned_day_stats,
                              binned_event_stats, day_block_edges)
 
+    tune_malloc()
     with GridReader(mhw_path, "time_start") as gm:
         ev_dim = gm.dims[0]
         tattrs = {k: (v.decode() if isinstance(v, bytes) else v)
@@ -786,6 +798,7 @@ def stream_rank(
 
     from .core.stats import rank_events_desc
 
+    tune_malloc()
     if return_path is None:
         return_path = (rank_path[:-3] + "_return.nc"
                        if rank_path.endswith(".nc")
@@ -903,6 +916,7 @@ def stream_run(
     ``rank_path``/``return_path`` (mhw_rank ranks + return periods).
     Returns a dict of the written paths.
     """
+    tune_malloc()
     if smoothPercentileWidth % 2 == 0:
         raise XmhwException("smoothPercentileWidth should be odd")
     if maxGap >= minDuration:
@@ -1065,7 +1079,12 @@ def stream_run(
                 doy_clim_np=doy_clim if t_sel is not None else None,
                 ts_day_np=ts_day, ybod_np=ybod, nbins=nbins,
                 day_edges=day_edges, count_nans=removeMissing,
-                rank_names=rank_names,
+                # ranks are computed HOST-side below from the fetched
+                # tables (identical double-argsort semantics) — the
+                # device rank output is 24 x K x cells of extra D2H per
+                # block through the tunnel, ~1/3 of the fused step's
+                # transfer bytes, for values the host can derive in ~2 s
+                rank_names=(),
                 det_mask_np=det_in_all if anynans else None,
                 block=cell_block, mesh=mesh,
                 # first stripe: let the counting pass set K exactly
@@ -1088,8 +1107,13 @@ def stream_run(
                     label_union.append(np.unique(labels[fin]))
             stripes.append((lo, hi, keep_det, tables, labels))
             if rank_path is not None:
-                ranks = {k: v[:, det_in_all]
-                         for k, v in extras["rank"].items()}
+                from .stats_api import rank_variable
+
+                # host ranking of the (already flipped+masked) tables;
+                # rank_variable matches core/stats.rank_events_desc's
+                # tie semantics exactly (both tested vs the reference)
+                ranks = {k: rank_variable(tables[k], axis=0)
+                         for k in rank_names}
                 rank_stripes.append((lo, hi, keep_det, ranks, labels))
             ts_det = tables["time_start"]
             te_det = tables["time_end"]

@@ -103,6 +103,37 @@ def pool_stats() -> dict:
         return {"regions": len(_pool), "bytes": _pool_bytes}
 
 
+_malloc_tuned = False
+
+
+def tune_malloc() -> None:
+    """Keep LARGE glibc allocations in the (warm) main arena.
+
+    The pool above covers this package's own buffers, but numpy/h5py
+    internal temporaries (hyperslab reads, np.pad, argsort scratch,
+    device fetches) still go through malloc, which mmaps anything big
+    and unmaps it on free — every use pays the ~0.15 GB/s fresh-page
+    fault cost again. Raising M_MMAP_THRESHOLD/M_TRIM_THRESHOLD keeps
+    those in the brk arena, where the regular per-stripe allocation
+    pattern of the streaming pipelines re-touches resident pages
+    (measured here: a 1 GB read-compact-pad stripe pattern repeats at
+    0.56 s vs 9.9 s). An earlier round benchmarked bare mallopt as
+    inconsistent for the ASSEMBLY buffers (many coexisting sizes —
+    hence the mmap pool); for the streaming temporaries the sizes are
+    few and cyclic, which is the pattern the arena retains well.
+    Called from the streaming entry points; idempotent; no-op without
+    glibc."""
+    global _malloc_tuned
+    if _malloc_tuned or _libc is None:
+        return
+    _malloc_tuned = True
+    try:
+        _libc.mallopt(ctypes.c_int(-3), ctypes.c_int(1 << 30))  # M_MMAP_THRESHOLD
+        _libc.mallopt(ctypes.c_int(-1), ctypes.c_int(1 << 30))  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
 def alloc_empty(shape, dtype) -> np.ndarray:
     """Uninitialized array backed by the warm-page pool when large."""
     dtype = np.dtype(dtype)
