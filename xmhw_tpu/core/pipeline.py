@@ -81,25 +81,6 @@ class CellRunner:
         return range(0, self.n_cells, self.block)
 
 
-def fetch_dict(d):
-    """Download a dict of same-shape device arrays with ONE transfer per
-    dtype group. The tunnel harness charges ~100 ms RTT per fetch; a
-    31-variable event table fetched per-variable costs ~3 s/block in
-    round-trips alone, vs ~2 stacked transfers."""
-    groups = {}
-    for k, v in d.items():
-        groups.setdefault((v.dtype, v.shape), []).append(k)
-    out = {}
-    for (dt, shp), ks in groups.items():
-        if len(ks) == 1:
-            out[ks[0]] = np.asarray(d[ks[0]])
-        else:
-            stacked = np.asarray(jnp.stack([d[k] for k in ks]))
-            for i, k in enumerate(ks):
-                out[k] = stacked[i]
-    return out
-
-
 @jax.jit
 def _concat_rows(xs):
     return jnp.concatenate(xs, axis=0)
@@ -109,10 +90,11 @@ def fetch_rows(d):
     """Download a dict of 2-D (rows_i, C) device arrays with ONE
     transfer per dtype group, concatenating along rows on device first.
 
-    Generalizes :func:`fetch_dict` to heterogeneous row counts (event
-    tables, climatologies, block stats and counters all share the cell
-    axis). The tunnel harness charges a fixed per-transfer cost, so the
-    ~65 per-variable fetches of a fused block collapse to ~2."""
+    Event tables, climatologies, block stats and counters all share the
+    cell axis, so any mix of them concatenates. The tunnel harness
+    charges a fixed per-transfer cost (~100 ms RTT, plus staging for
+    large payloads), so the ~65 per-variable fetches of a fused block
+    collapse to ~2."""
     groups = {}
     for k, v in d.items():
         groups.setdefault(np.dtype(v.dtype), []).append(k)
@@ -234,8 +216,7 @@ def run_clim(ts_np: np.ndarray, doy_np: np.ndarray, w: int, ndoy: int,
         quantum = 128 * n_dev
         if runner.block % quantum:
             runner.block = -(-runner.block // quantum) * quantum
-        ts_pad = np.pad(ts_np, ((0, rmax), (0, 0)),
-                        constant_values=np.nan)
+        ts_pad = _pad_rows(ts_np, rmax)
         starts = runner.device_replicated(starts_np.reshape(-1))
         lens = runner.device_replicated(lens_np.reshape(-1))
 
@@ -249,24 +230,28 @@ def run_clim(ts_np: np.ndarray, doy_np: np.ndarray, w: int, ndoy: int,
                 _pallas_clim_block, ndoy=ndoy, ny=ny, rmax=rmax,
                 pctile=pctile, smooth=smooth, smooth_w=smooth_w,
                 patch_feb29=patch_feb29, interpret=pallas_interpret)
+        src = _BlockSource(runner, ts_pad)
         for lo in runner.blocks():
-            ts = runner.device_block(ts_pad, lo)
+            ts = src.block(lo)
             th, se = fn(ts, starts, lens)
             hi = min(lo + runner.block, C)
-            out_t[:, lo:hi] = np.asarray(th)[:, : hi - lo]
-            out_s[:, lo:hi] = np.asarray(se)[:, : hi - lo]
+            got = fetch_rows({"th": th, "se": se})
+            out_t[:, lo:hi] = got["th"][:, : hi - lo]
+            out_s[:, lo:hi] = got["se"][:, : hi - lo]
         return out_t, out_s
 
     gidx_np, Z = build_window_index(doy_np, w, ndoy)
     runner = CellRunner(C, T, Z, ndoy, block=block, mesh=mesh)
     gidx = runner.device_replicated(gidx_np)
+    src = _BlockSource(runner, ts_np)
     for lo in runner.blocks():
-        ts = runner.device_block(ts_np, lo)
+        ts = src.block(lo)
         th, se = clim_kernel(ts, gidx, pctile=pctile, smooth=smooth,
                              smooth_w=smooth_w, patch_feb29=patch_feb29)
         hi = min(lo + runner.block, C)
-        out_t[:, lo:hi] = np.asarray(th)[:, : hi - lo]
-        out_s[:, lo:hi] = np.asarray(se)[:, : hi - lo]
+        got = fetch_rows({"th": th, "se": se})
+        out_t[:, lo:hi] = got["th"][:, : hi - lo]
+        out_s[:, lo:hi] = got["se"][:, : hi - lo]
     return out_t, out_s
 
 
@@ -720,10 +705,13 @@ def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
     tables = None  # host outputs, written block-by-block (no buffering)
     inter_out = {}
     doy_pos = runner.device_replicated(doy_pos_np)
+    ts_src = _BlockSource(runner, ts_np)
+    th_src = _BlockSource(runner, th_np)
+    se_src = _BlockSource(runner, se_np)
     for lo in runner.blocks():
-        ts = runner.device_block(ts_np, lo)
-        th = runner.device_block(th_np, lo)
-        se = runner.device_block(se_np, lo)
+        ts = ts_src.block(lo)
+        th = th_src.block(lo)
+        se = se_src.block(lo)
         if K is None:
             n = _count_kernel(ts, th, doy_pos, min_duration=min_duration,
                               join_gaps=join_gaps, max_gap=max_gap,
@@ -750,7 +738,15 @@ def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
             if raw_max <= K or _cap(_round_k(raw_max)) == K:
                 break
             K = _cap(_round_k(raw_max))  # overflow: retry larger
-        nev = np.asarray(nev)
+        # ONE stacked transfer per dtype group for tables + counters
+        # (+ the per-day intermediate when requested)
+        parts = {("nev", "nev"): nev[None, :]}
+        for k, v in tbl.items():
+            parts[("tbl", k)] = v
+        for k, v in inter.items():
+            parts[("inter", k)] = v
+        fetched = fetch_rows(parts)
+        nev = fetched[("nev", "nev")][0]
         dropped += int(np.maximum(nev - K, 0).sum())  # only under k_cap
         hi = min(lo + runner.block, C)
         w = hi - lo
@@ -767,10 +763,11 @@ def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
                 grown = alloc_filled((K, C), _fill_of(old), old.dtype)
                 grown[:old.shape[0]] = old
                 tables[k] = grown
-        for k, v in fetch_dict(tbl).items():
+        for k in tbl:
+            v = fetched[("tbl", k)]
             tables[k][:v.shape[0], lo:hi] = v[:, :w]
-        for k, v in inter.items():
-            inter_out[k][:, lo:hi] = np.asarray(v)[:, :w]
+        for k in inter:
+            inter_out[k][:, lo:hi] = fetched[("inter", k)][:, :w]
 
     if dropped:
         from ..utils import logger

@@ -339,7 +339,21 @@ def _write_table_file(out_path, stripes, names, g, ev_dim, ev_vals,
             name, (ev_dim, *g.grid_dims), np.dtype(dt).str,
             attrs_of(name) if attrs_of is not None else {},
             chunks=(max(1, min(E, 4096)), 1, *g.grid_shape[1:]))
-    buf = alloc_filled((max(E, 1), rows * row_cells), np.nan, np.float64)
+    # scatter buffers in the OUTPUT dtype (usually f4): h5py then writes
+    # without a per-chunk f8->f4 conversion pass — at planet scale the
+    # table files are ~10 GB and this halves the phase-B memory traffic
+    bufs = {}
+
+    def _buf(dt):
+        dt = np.dtype(dt)
+        if dt.kind != "f":
+            dt = np.dtype(np.float64)
+        b = bufs.get(dt)
+        if b is None:
+            b = alloc_filled((max(E, 1), rows * row_cells), np.nan, dt)
+            bufs[dt] = b
+        return b
+
     for lo, hi, keep, tables, labels in stripes:
         c_str = (hi - lo) * row_cells
         if union is not None and keep.size:
@@ -347,7 +361,7 @@ def _write_table_file(out_path, stripes, names, g, ev_dim, ev_vals,
             rr = np.searchsorted(union, labels[fin].astype(np.int64))
             cc = np.broadcast_to(keep, labels.shape)[fin]
         for name in names:
-            view = buf[:E, :c_str]
+            view = _buf(out_vars[name].dtype)[:E, :c_str]
             view.fill(np.nan)
             if keep.size:
                 tab = tables[name]
