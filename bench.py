@@ -230,6 +230,12 @@ def _gen_global_file(path, ny, nx, years, land_frac=0.33, seed=7):
     """
     import h5py
 
+    from xmhw_tpu.xrlite.alloc import tune_malloc
+
+    # ~6 GB of numpy temporaries per lat block; warm-arena reuse makes
+    # generation disk-bound instead of page-fault-bound on this host
+    tune_malloc()
+
     T = int(round(years * 365.25))
     t_raw = np.arange(T, dtype=np.float64)
     rng = np.random.default_rng(seed)
@@ -245,6 +251,10 @@ def _gen_global_file(path, ny, nx, years, land_frac=0.33, seed=7):
         basis[:, 2 * i + 1] = np.cos(w)
     lat = np.linspace(-89.875, 89.875, ny).astype(np.float64)
     lon = np.linspace(0.125, 359.875, nx).astype(np.float64)
+    # write to a temp name and rename at the end: an interrupted
+    # generation must not leave a partial file that the exists-check
+    # of a later run mistakes for the cached dataset
+    final_path, path = path, path + ".tmp"
     # land: a smooth deterministic pattern covering ~land_frac
     li, lj = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
     landfield = (np.sin(li * 0.11) * np.cos(lj * 0.07)
@@ -285,6 +295,7 @@ def _gen_global_file(path, ny, nx, years, land_frac=0.33, seed=7):
                           np.float32)
             block[:, land[lo:hi]] = np.nan
             v[:, lo:hi] = block
+    os.replace(path, final_path)
     return int((~land).sum())
 
 
@@ -391,6 +402,20 @@ def bench_global_streamed():
     fwall = t6 - t5
     assert n_events_f == n_events, (n_events_f, n_events)
 
+    # the 0.25-degree full-scale (720x1440x40y, ~61 GB) fused run takes
+    # hours through the tunnel; it is measured once out-of-band by
+    # tools/fullscale_fused.py, which records FULLSCALE.json — include
+    # that measured artifact when present
+    fullscale = None
+    fs_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "FULLSCALE.json")
+    if os.path.exists(fs_path):
+        try:
+            with open(fs_path) as f:
+                fullscale = json.load(f)
+        except Exception:
+            fullscale = None
+
     return {
         "name": "global_streamed",
         "grid": f"{ny}x{nx}x{years}y",
@@ -413,6 +438,7 @@ def bench_global_streamed():
             "device_step_share": round(fus_t["s"] / fwall, 3),
             "speedup_vs_staged": round(wall / fwall, 2),
         },
+        **({"fullscale_measured": fullscale} if fullscale else {}),
     }
 
 

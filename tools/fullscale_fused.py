@@ -30,6 +30,7 @@ sys.path.insert(0, ROOT)
 def main():
     spec = "720x1440x40"
     stripe = None
+    rank = False
     out_json = os.path.join(ROOT, "FULLSCALE.json")
     args = sys.argv[1:]
     while args:
@@ -38,6 +39,15 @@ def main():
             stripe = int(args.pop(0))
         elif a == "--out":
             out_json = args.pop(0)
+        elif a == "--rank":
+            # rank + return-period files are each (24 vars x K x grid)
+            # f4 — ~25 GB apiece at 720x1440/K=256, which together with
+            # the ~61 GB input and ~46 GB of clim/mhw/block outputs
+            # overflows this host's 120 GB free disk. Off by default at
+            # full scale; the rank stage itself is measured at the
+            # 360x480 bench scale (BENCH global_streamed) and is
+            # byte-parity tested against the staged stream_rank.
+            rank = True
         else:
             spec = a
     ny, nx, years = (int(x) for x in spec.split("x"))
@@ -47,6 +57,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_xmhw"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from xmhw_tpu.xrlite.alloc import tune_malloc
+
+    # generation allocates ~6 GB of numpy temporaries per lat block;
+    # keep them in the warm arena (fresh pages ~0.15 GB/s on this host)
+    tune_malloc()
 
     from bench import _gen_global_file, log
 
@@ -82,12 +98,13 @@ def main():
         return r
 
     _pl.run_fused = timed
-    paths = {k: os.path.join(cache, f"fullscale_{k}.nc")
-             for k in ("clim", "mhw", "block", "rank")}
+    keys = ("clim", "mhw", "block") + (("rank",) if rank else ())
+    paths = {k: os.path.join(cache, f"fullscale_{k}.nc") for k in keys}
     try:
         t1 = time.perf_counter()
         xm.stream_run(src, "sst", paths["clim"], paths["mhw"],
-                      block_path=paths["block"], rank_path=paths["rank"],
+                      block_path=paths["block"],
+                      rank_path=paths.get("rank"),
                       events_layout="compact", stripe=stripe)
         t2 = time.perf_counter()
     finally:
@@ -115,14 +132,17 @@ def main():
         "device_step_share": round(dev_t["s"] / wall, 3),
         "peak_host_rss_gb": round(rss_gb, 2),
         "stripe_rows": stripe,
-        "stages": "clim+detect+block_average+rank (one upload per stripe)",
+        "stages": ("clim+detect+block_average"
+                   + ("+rank" if rank else "")
+                   + " (one upload per stripe)"),
     }
     for p in paths.values():
         if os.path.exists(p):
             os.remove(p)
-    rp = paths["rank"][:-3] + "_return.nc"
-    if os.path.exists(rp):
-        os.remove(rp)
+    if rank:
+        rp = paths["rank"][:-3] + "_return.nc"
+        if os.path.exists(rp):
+            os.remove(rp)
     with open(out_json, "w") as f:
         json.dump(rec, f, indent=1)
     log(f"[fullscale] {json.dumps(rec)}")
