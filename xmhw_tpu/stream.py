@@ -190,6 +190,47 @@ class _Writer:
         self.h.close()
 
 
+def _prefetched(pairs, fetch):
+    """Yield ``(lo, hi, fetch(lo, hi))`` with the NEXT stripe's fetch
+    running on a worker thread while the caller processes the current
+    one.
+
+    The streamed pipelines alternate between host I/O (disk read +
+    ocean compaction, GIL-released inside h5py/HDF5) and the device
+    step (tunnel uploads/fetches and kernel waits, GIL-released in the
+    socket layer), so one stripe of read-ahead hides most of the disk
+    time. Exactly one fetch is in flight — host memory stays bounded
+    at two stripes. h5py serializes all HDF5 calls under its global
+    lock, so the worker's reads interleave safely with the incremental
+    writers on the consumer thread. Worker exceptions re-raise at the
+    consumer's next step."""
+    import threading
+
+    pairs = list(pairs)
+    slot = {}
+
+    def work(lo, hi):
+        try:
+            slot["v"] = fetch(lo, hi)
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            slot["e"] = e
+
+    t = None
+    for i, (lo, hi) in enumerate(pairs):
+        if t is None:  # first stripe: fetch inline
+            work(lo, hi)
+        else:
+            t.join()
+        if "e" in slot:
+            raise slot.pop("e")
+        val = slot.pop("v")
+        if i + 1 < len(pairs):
+            t = threading.Thread(target=work, args=pairs[i + 1],
+                                 daemon=True)
+            t.start()
+        yield lo, hi, val
+
+
 def _compact_ocean(block, anynans=False):
     """Drop all-NaN (land) columns — or any-NaN columns with ``anynans``
     (reference land_check: identify.py:522-525); returns
@@ -273,12 +314,10 @@ def stream_threshold(
         }
         row_cells = int(np.prod(g.grid_shape[1:], dtype=np.int64)) or 1
         buf = alloc_filled((ndoy, rows * row_cells), np.nan, dtype)
-        for lo in range(0, g.grid_shape[0], rows):
-            hi = min(lo + rows, g.grid_shape[0])
+
+        def _fetch(lo, hi):
             block = g.read(lo, hi, t_sel).astype(dtype, copy=False)
             comp, keep = _compact_ocean(block, anynans)
-            c_str = (hi - lo) * row_cells
-            th = se = None
             if keep.size:
                 if maxPadLength:
                     from .api import _interpolate_na
@@ -286,6 +325,14 @@ def stream_threshold(
                     comp = _interpolate_na(comp, maxPadLength)
                 if coldSpells:
                     comp = -comp
+            return comp, keep
+
+        edges = [(lo, min(lo + rows, g.grid_shape[0]))
+                 for lo in range(0, g.grid_shape[0], rows)]
+        for lo, hi, (comp, keep) in _prefetched(edges, _fetch):
+            c_str = (hi - lo) * row_cells
+            th = se = None
+            if keep.size:
                 th, se = run_clim(
                     comp, doy, windowHalfWidth, ndoy, pctile=pctile,
                     smooth=smoothPercentile, smooth_w=smoothPercentileWidth,
@@ -469,13 +516,11 @@ def stream_detect(
         label_union = []
         iw = None  # lazy intermediate writer (phase-A streamed)
         inter_vars = {}
-        for lo in range(0, g.grid_shape[0], rows):
-            hi = min(lo + rows, g.grid_shape[0])
+        def _fetch(lo, hi):
             block = g.read(lo, hi).astype(dtype, copy=False)
             comp, keep = _compact_ocean(block, anynans)
             if keep.size == 0:
-                stripes.append((lo, hi, keep, {}))
-                continue
+                return comp, keep, None, None
             th = gth.read(lo, hi).astype(dtype, copy=False)[:, keep]
             se = gse.read(lo, hi).astype(dtype, copy=False)[:, keep]
             if maxPadLength:
@@ -484,6 +529,14 @@ def stream_detect(
                 comp = _interpolate_na(comp, maxPadLength)
             if coldSpells:
                 comp = -comp
+            return comp, keep, th, se
+
+        edges = [(lo, min(lo + rows, g.grid_shape[0]))
+                 for lo in range(0, g.grid_shape[0], rows)]
+        for lo, hi, (comp, keep, th, se) in _prefetched(edges, _fetch):
+            if keep.size == 0:
+                stripes.append((lo, hi, keep, {}))
+                continue
             tables, n_events, inter = run_detect(
                 comp, th, se, doy_pos, min_duration=minDuration,
                 join_gaps=joinGaps, max_gap=maxGap, block=cell_block,
@@ -1041,9 +1094,7 @@ def stream_run(
         kmax = 1
         label_union = []
         smin = emax = None  # event time extremes for nYears
-        for lo in range(0, g.grid_shape[0], rows):
-            hi = min(lo + rows, g.grid_shape[0])
-            c_str = (hi - lo) * row_cells
+        def _fetch(lo, hi):
             block = g.read(lo, hi).astype(dtype, copy=False)
             # detection drops any-NaN cells under ``anynans``, but the
             # per-day stats half keeps them (the staged block_average
@@ -1055,6 +1106,20 @@ def stream_run(
                 det_in_all = ~np.isnan(comp).any(axis=0)
             else:
                 det_in_all = np.ones(keep_all.size, bool)
+            comp_i = comp
+            ts_day = None
+            if maxPadLength and keep_all.size:
+                from .api import _interpolate_na
+
+                comp_i = _interpolate_na(comp, maxPadLength)
+                ts_day = comp
+            return comp_i, ts_day, keep_all, det_in_all
+
+        edges = [(lo, min(lo + rows, g.grid_shape[0]))
+                 for lo in range(0, g.grid_shape[0], rows)]
+        for lo, hi, fetched in _prefetched(edges, _fetch):
+            comp_i, ts_day, keep_all, det_in_all = fetched
+            c_str = (hi - lo) * row_cells
             keep_det = keep_all[det_in_all]
             if keep_all.size == 0:
                 stripes.append((lo, hi, keep_det, {}, None))
@@ -1075,13 +1140,6 @@ def stream_run(
                         blk_vars[name][:, lo:hi] = view.reshape(
                             nbins, hi - lo, *g.grid_shape[1:])
                 continue
-            comp_i = comp
-            ts_day = None
-            if maxPadLength:
-                from .api import _interpolate_na
-
-                comp_i = _interpolate_na(comp, maxPadLength)
-                ts_day = comp
             ts_clim = comp_i[t_sel] if t_sel is not None else None
             th, se, tables, nev, extras = run_fused(
                 comp_i, doy, doy_pos, w=windowHalfWidth, ndoy=ndoy,
