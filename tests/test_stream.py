@@ -6,6 +6,8 @@ writes. These tests pin byte-level agreement with threshold()/detect()
 on a synthetic grid with land, across stripe sizes that force multiple
 stripes."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -374,3 +376,52 @@ def test_stream_detect_no_events(grid_file, tmp_path):
                   stripe=5, events_layout="union")
     got = xm.open_dataset(mhw_out)
     assert got["event"].sizes["events"] == 0
+
+
+def test_stream_compressed_outputs_match(grid_file, tmp_path):
+    """compress= writes gzip+shuffle chunked variables (the reference's
+    documented staging encodes the sparse event output with zlib,
+    reference: docs/gettingstarted.rst:64) with byte-identical values."""
+    import h5py
+
+    path, sst = grid_file
+    c0, c1 = str(tmp_path / "c0.nc"), str(tmp_path / "c1.nc")
+    m0, m1 = str(tmp_path / "m0.nc"), str(tmp_path / "m1.nc")
+    stream_threshold(path, "sst", c0, dtype=np.float64, stripe=5)
+    stream_detect(path, "sst", c0, m0, dtype=np.float64, stripe=5)
+    stream_threshold(path, "sst", c1, dtype=np.float64, stripe=5,
+                     compress=1)
+    stream_detect(path, "sst", c1, m1, dtype=np.float64, stripe=5,
+                  compress=1)
+    for plain, packed in ((c0, c1), (m0, m1)):
+        with h5py.File(plain) as a, h5py.File(packed) as b:
+            for v in a:
+                if a[v].ndim < 2:
+                    continue
+                assert b[v].compression == "gzip", v
+                np.testing.assert_array_equal(a[v][()], b[v][()],
+                                              err_msg=v)
+    assert (os.path.getsize(m1) < os.path.getsize(m0)
+            and os.path.getsize(c1) < os.path.getsize(c0))
+
+
+def test_stream_run_compressed(grid_file, tmp_path):
+    from xmhw_tpu.stream import stream_run
+
+    path, sst = grid_file
+    out = stream_run(path, "sst", str(tmp_path / "cc.nc"),
+                     str(tmp_path / "mm.nc"),
+                     block_path=str(tmp_path / "bb.nc"),
+                     rank_path=str(tmp_path / "rr.nc"),
+                     dtype=np.float64, stripe=5, compress=1)
+    import h5py
+
+    ref_m = str(tmp_path / "m_plain.nc")
+    ref_c = str(tmp_path / "c_plain.nc")
+    stream_threshold(path, "sst", ref_c, dtype=np.float64, stripe=5)
+    stream_detect(path, "sst", ref_c, ref_m, dtype=np.float64, stripe=5)
+    with h5py.File(out["mhw"]) as a, h5py.File(ref_m) as b:
+        assert a["event"].compression == "gzip"
+        np.testing.assert_array_equal(a["event"][()], b["event"][()])
+    with h5py.File(out["block"]) as f:
+        assert f["ecount"].compression == "gzip"

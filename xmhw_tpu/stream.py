@@ -166,13 +166,22 @@ class _Writer:
                 self.h.attrs[k] = str(v)
 
     def create(self, name, dims, dtype, attrs=None, fill=np.nan,
-               chunks=None):
+               chunks=None, compress=None):
         shape = tuple(self.scales[d].shape[0] for d in dims)
         kw = {}
+        if compress and not chunks:
+            # gzip requires a chunked layout; one grid row per chunk
+            chunks = (shape[0], 1) + shape[2:] if len(shape) > 1 else shape
         if chunks and all(s > 0 for s in shape):
             # h5py rejects chunked layouts with any zero extent (e.g. an
             # empty events axis); contiguous is fine for empty datasets
             kw["chunks"] = tuple(min(c, s) for c, s in zip(chunks, shape))
+            if compress:
+                # the reference's documented staging encodes the sparse
+                # event output with zlib (docs/gettingstarted.rst:64);
+                # shuffle + gzip compresses the NaN-padded tables ~5-20x
+                kw.update(compression="gzip",
+                          compression_opts=int(compress), shuffle=True)
         node = self.h.create_dataset(name, shape=shape, dtype=dtype,
                                      fillvalue=fill, **kw)
         for i, d in enumerate(dims):
@@ -264,8 +273,13 @@ def stream_threshold(
     stripe=None,
     cell_block=None,
     mesh=None,
+    compress=None,
 ):
     """threshold() streamed file-to-file; host memory O(time x stripe).
+
+    ``compress``: gzip level (1-9) for the output variables — the
+    reference's documented staging encodes outputs with zlib
+    (docs/gettingstarted.rst:64).
 
     Same semantics as :func:`xmhw_tpu.threshold` (reference:
     xmhw/xmhw.py:38-247); returns the output path.
@@ -307,10 +321,11 @@ def stream_threshold(
             "thresh": w.create(
                 "thresh", ("doy", *g.grid_dims), np.dtype(dtype).str,
                 {"long_name": f"{pctile}th percentile threshold",
-                 "units": units}),
+                 "units": units}, compress=compress),
             "seas": w.create(
                 "seas", ("doy", *g.grid_dims), np.dtype(dtype).str,
-                {"long_name": "climatological mean", "units": units}),
+                {"long_name": "climatological mean", "units": units},
+                compress=compress),
         }
         row_cells = int(np.prod(g.grid_shape[1:], dtype=np.int64)) or 1
         buf = alloc_filled((ndoy, rows * row_cells), np.nan, dtype)
@@ -359,7 +374,8 @@ def _encode_times(idx, time_vals, units, cal):
 
 def _write_table_file(out_path, stripes, names, g, ev_dim, ev_vals,
                       union, time_vals, units, cal, global_attrs, rows,
-                      row_cells, attrs_of=None, dtype_of=None):
+                      row_cells, attrs_of=None, dtype_of=None,
+                      compress=None):
     """Phase-B writer shared by stream_detect / stream_run: scatter the
     per-stripe compact (K_b, n_keep) tables into the (ev|events, grid)
     file layout.
@@ -385,7 +401,8 @@ def _write_table_file(out_path, stripes, names, g, ev_dim, ev_vals,
         out_vars[name] = w.create(
             name, (ev_dim, *g.grid_dims), np.dtype(dt).str,
             attrs_of(name) if attrs_of is not None else {},
-            chunks=(max(1, min(E, 4096)), 1, *g.grid_shape[1:]))
+            chunks=(max(1, min(E, 4096)), 1, *g.grid_shape[1:]),
+            compress=compress)
     # scatter buffers in the OUTPUT dtype (usually f4): h5py then writes
     # without a per-chunk f8->f4 conversion pass — at planet scale the
     # table files are ~10 GB and this halves the phase-B memory traffic
@@ -451,8 +468,14 @@ def stream_detect(
     seas_var="seas",
     inter_path=None,
     reference_quirks=False,
+    compress=None,
 ):
     """detect() streamed file-to-file.
+
+    ``compress``: gzip level (1-9) for the output variables — the
+    reference's documented staging encodes the sparse event output with
+    zlib (docs/gettingstarted.rst:64); the NaN-padded tables compress
+    ~5-20x.
 
     Host memory: the time-series data is streamed per stripe
     (O(time x stripe)), but the COMPACT per-stripe event tables of every
@@ -598,7 +621,7 @@ def stream_detect(
                 minDuration, joinGaps, maxGap, coldSpells, maxPadLength,
                 anynans),
              "source": "xmhw_tpu stream_detect"},
-            rows, row_cells, attrs_of=_attrs_of)
+            rows, row_cells, attrs_of=_attrs_of, compress=compress)
         if iw is not None:
             iw.close()
     if intermediate:
@@ -620,6 +643,7 @@ def stream_block_average(
     stripe=None,
     thresh_var="thresh",
     seas_var="seas",
+    compress=None,
 ):
     """block_average() streamed file-to-file — the stats stage of the
     planet-scale pipeline (reference workflow: docs/gettingstarted.rst:
@@ -711,7 +735,8 @@ def stream_block_average(
                     out_names += ["moderate_days", "strong_days",
                                   "severe_days", "extreme_days",
                                   "total_days"]
-            out_vars = {n: w.create(n, ("years", *gm.grid_dims), "f8")
+            out_vars = {n: w.create(n, ("years", *gm.grid_dims), "f8",
+                                    compress=compress)
                         for n in out_names}
             buf = alloc_filled((nbins, rows * row_cells), np.nan,
                                np.float64)
@@ -847,6 +872,7 @@ def stream_rank(
     return_path=None,
     nYears=None,
     stripe=None,
+    compress=None,
 ):
     """mhw_rank() streamed file-to-file (reference: stats.py:446-490).
 
@@ -903,9 +929,11 @@ def stream_rank(
         # ratios — exactly/adequately representable, half the file size
         # (the in-memory API returns float64; files are the streamed
         # contract)
-        rvars = {v: wr.create(v, (ev_dim, *gm.grid_dims), "f4")
+        rvars = {v: wr.create(v, (ev_dim, *gm.grid_dims), "f4",
+                              compress=compress)
                  for v in variables}
-        pvars = {v: wp.create(v, (ev_dim, *gm.grid_dims), "f4")
+        pvars = {v: wp.create(v, (ev_dim, *gm.grid_dims), "f4",
+                              compress=compress)
                  for v in variables}
         # all variables ride ONE (V, K, cells) upload + ONE vmapped rank
         # kernel + ONE fetch per stripe: the tunnel charges a fixed
@@ -961,6 +989,7 @@ def stream_run(
     events_layout="compact",
     dtype=np.float32,
     reference_quirks=False,
+    compress=None,
 ):
     """The SINGLE-PASS planet-scale pipeline: climatology + detection +
     year-block statistics + event ranks, file-to-file, reading and
@@ -1063,11 +1092,11 @@ def stream_run(
                                 np.dtype(dtype).str,
                                 {"long_name":
                                  f"{pctile}th percentile threshold",
-                                 "units": u}),
+                                 "units": u}, compress=compress),
             "seas": cw.create("seas", ("doy", *g.grid_dims),
                               np.dtype(dtype).str,
                               {"long_name": "climatological mean",
-                               "units": u}),
+                               "units": u}, compress=compress),
         }
         bw = None
         if with_stats:
@@ -1082,7 +1111,8 @@ def stream_run(
                 "ts_mean", "ts_max", "ts_min", "moderate_days",
                 "strong_days", "severe_days", "extreme_days",
                 "total_days"]
-            blk_vars = {n: bw.create(n, ("years", *g.grid_dims), "f8")
+            blk_vars = {n: bw.create(n, ("years", *g.grid_dims), "f8",
+                                     compress=compress)
                         for n in blk_names}
             bbuf = alloc_filled((nbins, rows * row_cells), np.nan,
                                 np.float64)
@@ -1263,7 +1293,7 @@ def stream_run(
                 minDuration, joinGaps, maxGap, coldSpells, maxPadLength,
                 anynans),
              "source": "xmhw_tpu stream_run"},
-            rows, row_cells, attrs_of=_attrs_of)
+            rows, row_cells, attrs_of=_attrs_of, compress=compress)
         out = {"clim": clim_path, "mhw": mhw_path}
         if with_stats:
             out["block"] = block_path
@@ -1283,7 +1313,8 @@ def stream_run(
                 ev_vals, union, time_vals, units, cal,
                 {"source": "xmhw_tpu stream_run ranks",
                  "nYears": nYears},
-                rows, row_cells, dtype_of=lambda n, a: "f4")
+                rows, row_cells, dtype_of=lambda n, a: "f4",
+                compress=compress)
             ret_stripes = [
                 (lo, hi, keep, {k: (nYears + 1) / v
                                 for k, v in tabs.items()}, lab)
@@ -1293,7 +1324,8 @@ def stream_run(
                 ev_vals, union, time_vals, units, cal,
                 {"source": "xmhw_tpu stream_run return periods",
                  "nYears": nYears},
-                rows, row_cells, dtype_of=lambda n, a: "f4")
+                rows, row_cells, dtype_of=lambda n, a: "f4",
+                compress=compress)
             out["rank"] = rank_path
             out["return"] = return_path
     return out
