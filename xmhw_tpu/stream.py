@@ -740,26 +740,12 @@ def stream_block_average(
                         for n in out_names}
             buf = alloc_filled((nbins, rows * row_cells), np.nan,
                                np.float64)
-            for lo in range(0, gm.grid_shape[0], rows):
-                hi = min(lo + rows, gm.grid_shape[0])
-                c_str = (hi - lo) * row_cells
-                res = {}
-                # ---- event-table half --------------------------------
+
+            def _fetch(lo, hi):
                 t0 = gm.read(lo, hi)
-                ev_years, ev_valid = _years_of_cf(t0, tattrs)
-                bin_idx = np.searchsorted(bins, ev_years,
-                                          side="right") - 1
-                in_range = (bin_idx >= 0) & (bin_idx < nbins)
-                bin_idx = np.clip(bin_idx, 0, nbins - 1)
-                # f64 host-side; jnp keeps f32 when x64 is off (TPU)
                 vals = np.stack([evr[v].read(lo, hi)
                                  for v in EVENT_VARS]).astype(np.float64)
-                dev = binned_event_stats(
-                    jnp.asarray(vals),
-                    jnp.asarray(bin_idx.astype(np.int32)),
-                    jnp.asarray(ev_valid & in_range), nbins)
-                res.update({k: np.asarray(v) for k, v in dev.items()})
-                # ---- per-day half ------------------------------------
+                comp2 = keep2 = th_p = se_p = None
                 if gts is not None:
                     from .parallel.mesh import pad_cells
 
@@ -769,14 +755,39 @@ def stream_block_average(
                     ts_np = gts.read(lo, hi)
                     comp2, keep2 = _compact_ocean(ts_np)
                     comp2, _ = pad_cells(comp2.astype(np.float64), 1024)
-                    ts_b = jnp.asarray(comp2)
                     if gth is not None:
                         th_np = gth.read(lo, hi)[:, keep2]
                         se_np = gse.read(lo, hi)[:, keep2]
-                        th_b = jnp.asarray(pad_cells(
-                            th_np.astype(np.float64), 1024)[0])
-                        se_b = jnp.asarray(pad_cells(
-                            se_np.astype(np.float64), 1024)[0])
+                        th_p = pad_cells(th_np.astype(np.float64),
+                                         1024)[0]
+                        se_p = pad_cells(se_np.astype(np.float64),
+                                         1024)[0]
+                return t0, vals, comp2, keep2, th_p, se_p
+
+            bedges = [(lo, min(lo + rows, gm.grid_shape[0]))
+                      for lo in range(0, gm.grid_shape[0], rows)]
+            for lo, hi, fetched in _prefetched(bedges, _fetch):
+                t0, vals, comp2, keep2, th_p, se_p = fetched
+                c_str = (hi - lo) * row_cells
+                res = {}
+                # ---- event-table half --------------------------------
+                ev_years, ev_valid = _years_of_cf(t0, tattrs)
+                bin_idx = np.searchsorted(bins, ev_years,
+                                          side="right") - 1
+                in_range = (bin_idx >= 0) & (bin_idx < nbins)
+                bin_idx = np.clip(bin_idx, 0, nbins - 1)
+                # f64 host-side; jnp keeps f32 when x64 is off (TPU)
+                dev = binned_event_stats(
+                    jnp.asarray(vals),
+                    jnp.asarray(bin_idx.astype(np.int32)),
+                    jnp.asarray(ev_valid & in_range), nbins)
+                res.update({k: np.asarray(v) for k, v in dev.items()})
+                # ---- per-day half ------------------------------------
+                if gts is not None:
+                    ts_b = jnp.asarray(comp2)
+                    if gth is not None:
+                        th_b = jnp.asarray(th_p)
+                        se_b = jnp.asarray(se_p)
                         cats_b = _cats_kernel(ts_b, th_b, se_b, doy_pos)
                     else:
                         cats_b = jnp.zeros_like(ts_b)
@@ -941,12 +952,15 @@ def stream_rank(
         # round-trips per stripe cost ~10x more than one batched one
         rank_b = jax.jit(jax.vmap(
             lambda a: rank_events_desc(a, jnp.ones(a.shape, bool))))
-        for lo in range(0, gm.grid_shape[0], rows):
-            hi = min(lo + rows, gm.grid_shape[0])
-            blk = np.stack([
+        def _fetch(lo, hi):
+            return np.stack([
                 np.asarray(f[v][(slice(None), slice(lo, hi))],
                            np.float64).reshape(K, -1)
                 for v in variables])
+
+        redges = [(lo, min(lo + rows, gm.grid_shape[0]))
+                  for lo in range(0, gm.grid_shape[0], rows)]
+        for lo, hi, blk in _prefetched(redges, _fetch):
             r_all = np.asarray(rank_b(jnp.asarray(blk)))
             shape = (K, hi - lo, *gm.grid_shape[1:])
             for i, v in enumerate(variables):
