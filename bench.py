@@ -26,6 +26,13 @@ in the JSON line under detail.configs and traced on stderr:
   4 monthly_tstep     non-daily tstep path through the public API
   5 stats_pipeline    detect(compact) + block_average(device) + mhw_rank
 
+Execution order differs from the numbering: global_fused runs first
+(secures the headline rate within minutes on a warm compile cache),
+global_streamed last (tunnel-bound, ~1 h at default scale; it resets
+the kernel peak-RSS watermark on entry so its RSS is its own). If the
+process is signalled or exceeds XMHW_BENCH_BUDGET_S (default 7200 s),
+the JSON line is emitted with every config measured so far.
+
 For global_fused, synthetic data is generated on-device (seasonal cycle
 + AR-smoothed noise): the axon harness tunnel moves host<->device data
 at ~12 MB/s, which would measure the tunnel, not the framework — the
@@ -44,6 +51,33 @@ FAST = bool(os.environ.get("XMHW_BENCH_FAST"))
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _reset_peak_rss():
+    """Reset the kernel's peak-RSS watermark (VmHWM) for this process,
+    so a config measured late in the suite reports its own peak rather
+    than an earlier config's. Linux-only; no-op where unsupported."""
+    try:
+        with open("/proc/self/clear_refs", "w") as f:
+            f.write("5")
+        return True
+    except OSError:
+        return False
+
+
+def _peak_rss_gb():
+    """Peak host RSS in GB: VmHWM (resettable via _reset_peak_rss)
+    when available, ru_maxrss otherwise."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return int(line.split()[1]) / 1e6  # kB -> GB
+    except OSError:
+        pass
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 
 def _host_series(T, ny, nx, land_frac=0.3, seed=1):
@@ -307,9 +341,9 @@ def bench_global_streamed():
     XMHW_BENCH_GLOBAL="NYxNXxYEARS" (default 360x480x40 ~ 10 GB input,
     ~116k ocean cells; the 0.25-degree original is 720x1440x40 ~ 60 GB —
     feasible on disk, but H2D through the axon tunnel dominates)."""
-    import resource
-
     import xmhw_tpu as xm
+
+    _reset_peak_rss()  # this config runs last; measure its own peak
 
     spec = os.environ.get("XMHW_BENCH_GLOBAL",
                           "24x48x3" if FAST else "360x480x40")
@@ -369,8 +403,7 @@ def bench_global_streamed():
     with h5py.File(src, "r") as f:
         # synthetic land is all-NaN along time: one slice identifies it
         ocean = int(np.isfinite(f["sst"][0]).sum())
-    rss_gb = resource.getrusage(
-        resource.RUSAGE_SELF).ru_maxrss / 1e6  # kB -> GB
+    rss_gb = _peak_rss_gb()
     wall = t4 - t0
     td_wall = t2 - t0
     for p in (clim_out, mhw_out, blk_out, rank_out,
@@ -383,6 +416,7 @@ def bench_global_streamed():
     fus_t = {"s": 0.0}
     orig_fused = _pl.run_fused
     _pl.run_fused = _timed(orig_fused, fus_t)
+    _reset_peak_rss()  # report the fused pass's own host peak
     f_clim = os.path.join(cache, "f_clim.nc")
     f_mhw = os.path.join(cache, "f_mhw.nc")
     f_blk = os.path.join(cache, "f_block.nc")
@@ -639,20 +673,55 @@ def main():
         log(f"[bench] device acquisition failed: {e}")
 
     configs = {}
-    rate = None
-    # global_streamed runs FIRST so its peak-RSS number is not inflated
-    # by earlier configs' host allocations (ru_maxrss is process-max);
-    # the persistent compile cache keeps its wall time free of compiles
-    # on every run after the very first
-    for fn in (bench_global_streamed, bench_point, bench_regional,
-               bench_monthly, bench_stats, bench_global_fused):
+    state = {"rate": None, "done": False}
+
+    def _emit():
+        baseline_rate = 620000 / 60 / 8  # cells/s/chip, <60s target
+        rate = state["rate"] or 0.0
+        print(json.dumps({
+            "metric": "threshold_detect_cells_per_sec_per_chip",
+            "value": round(rate, 1),
+            "unit": "cells/s",
+            "vs_baseline": round(rate / baseline_rate, 2),
+            "detail": {"configs": configs},
+        }), flush=True)
+
+    # If the harness stops the suite mid-run (the streamed config alone
+    # can take over an hour through the ~40 MB/s tunnel), still emit
+    # the JSON line with every config measured so far. global_fused
+    # runs FIRST so the headline rate is secured within the first
+    # couple of minutes on a warm compile cache. XMHW_BENCH_BUDGET_S
+    # (default 2h) is a self-imposed deadline for the same purpose.
+    import signal
+
+    def _dump_and_exit(signum, frame):
+        if not state["done"]:
+            configs["_truncated"] = {"signal": signal.Signals(signum).name}
+            _emit()
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM,
+                signal.SIGHUP):
+        try:
+            signal.signal(sig, _dump_and_exit)
+        except (OSError, ValueError):
+            pass
+    budget = int(os.environ.get("XMHW_BENCH_BUDGET_S", "7200"))
+    if budget:
+        signal.alarm(budget)
+
+    # global_streamed runs LAST: it is the long tunnel-bound config,
+    # and it resets the kernel peak-RSS watermark (VmHWM) on entry so
+    # its RSS numbers are still its own despite running late
+    for fn in (bench_global_fused, bench_point, bench_regional,
+               bench_monthly, bench_stats, bench_global_streamed):
         name = fn.__name__
         log(f"[bench] running {name} ...")
         t0 = time.perf_counter()
         try:
             res = fn()
             if isinstance(res, tuple):
-                res, rate = res
+                res, state["rate"] = res
             configs[res.pop("name")] = res
             log(f"[bench] {name} done in "
                 f"{time.perf_counter() - t0:.1f}s: {res}")
@@ -660,15 +729,9 @@ def main():
             configs[name] = {"error": f"{type(e).__name__}: {e}"}
             log(f"[bench] {name} FAILED: {e}")
 
-    baseline_rate = 620000 / 60 / 8  # cells/s/chip for the <60s target
-    rate = rate or 0.0
-    print(json.dumps({
-        "metric": "threshold_detect_cells_per_sec_per_chip",
-        "value": round(rate, 1),
-        "unit": "cells/s",
-        "vs_baseline": round(rate / baseline_rate, 2),
-        "detail": {"configs": configs},
-    }))
+    state["done"] = True
+    signal.alarm(0)
+    _emit()
 
 
 if __name__ == "__main__":
