@@ -430,6 +430,7 @@ def bench_global_streamed():
         _pl.run_fused = orig_fused
     with h5py.File(f_mhw, "r") as f:
         n_events_f = int(np.isfinite(f["event"][()]).sum())
+    fus_rss_gb = _peak_rss_gb()
     for p in (f_clim, f_mhw, f_blk, f_rank, f_rank[:-3] + "_return.nc"):
         if os.path.exists(p):
             os.remove(p)
@@ -471,6 +472,7 @@ def bench_global_streamed():
             "device_step_s": round(fus_t["s"], 1),
             "device_step_share": round(fus_t["s"] / fwall, 3),
             "speedup_vs_staged": round(wall / fwall, 2),
+            "peak_host_rss_gb": round(fus_rss_gb, 2),
         },
         **({"fullscale_measured": fullscale} if fullscale else {}),
     }
