@@ -154,3 +154,105 @@ def test_table_vars_constant_in_sync():
     assert RANK_VARS == tuple(
         k for k in TABLE_VARS
         if not any(x in k for x in ("event", "time", "index")))
+
+
+# ---- incremental compact-table writer: K growth + empty stripes --------
+
+@pytest.fixture(scope="module")
+def growth_file(tmp_path_factory):
+    """Stripe 1 (rows 0-4): slow-varying anomaly -> clustered runs, few
+    events (K rounds to 32). Stripe 2 (rows 5-9): iid noise -> ~10% of
+    days are isolated exceedances, so with minDuration=1 the event
+    count per cell is ~100 (K grows to 128) — forcing the streamed
+    writer's ev-axis resize path mid-run."""
+    rng = np.random.default_rng(7)
+    t = np.arange("2000-01-01", "2003-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")
+    T = len(t)
+    ny, nx = 10, 4
+    day = np.arange(T)[:, None, None]
+    base = 15 + 3 * np.sin(2 * np.pi * day / 365.25)
+    sst = np.broadcast_to(base, (T, ny, nx)).copy()
+    sst[:, :5] += (2.0 * np.sin(2 * np.pi * day / 60.0)
+                   + rng.normal(0, 0.05, (T, 5, nx)))
+    sst[:, 5:] += rng.normal(0, 2.5, (T, 5, nx))
+    ds = Dataset()
+    ds["sst"] = DataArray(
+        sst, ("time", "lat", "lon"),
+        {"time": Coord(("time",), t),
+         "lat": Coord(("lat",), np.linspace(-40, -31, ny)),
+         "lon": Coord(("lon",), np.linspace(140, 143, nx))},
+        {"units": "degC"})
+    path = tmp_path_factory.mktemp("growth") / "sst.nc"
+    xm.save_dataset(ds, str(path))
+    return str(path)
+
+
+def test_stream_detect_k_growth_resize(growth_file, tmp_path):
+    """A later stripe with more events than the first must grow the ev
+    axis on disk; the result must equal a single-stripe run (which
+    never resizes)."""
+    import h5py
+
+    clim = str(tmp_path / "c.nc")
+    stream_threshold(growth_file, "sst", clim, dtype=np.float64,
+                     stripe=5)
+    kw = dict(minDuration=1, joinGaps=False, maxGap=0,
+              dtype=np.float64)
+    got = str(tmp_path / "m_striped.nc")
+    exp = str(tmp_path / "m_single.nc")
+    stream_detect(growth_file, "sst", clim, got, stripe=5, **kw)
+    stream_detect(growth_file, "sst", clim, exp, stripe=10, **kw)
+    with h5py.File(got, "r") as f:
+        assert f["ev"].shape[0] > 32  # growth actually happened
+    _assert_files_equal(got, exp)
+
+
+def test_stream_run_k_growth_resize(growth_file, tmp_path):
+    """Same resize path through the fused pipeline incl. the streamed
+    rank file and the read-back return file."""
+    kw = dict(minDuration=1, joinGaps=False, maxGap=0,
+              dtype=np.float64)
+
+    def run(d, stripe):
+        d.mkdir(exist_ok=True)
+        return stream_run(
+            growth_file, "sst", str(d / "c.nc"), str(d / "m.nc"),
+            block_path=str(d / "b.nc"), rank_path=str(d / "r.nc"),
+            stripe=stripe, **kw)
+
+    got = run(tmp_path / "striped", 5)
+    exp = run(tmp_path / "single", 10)
+    for part in ("clim", "mhw", "block", "rank", "return"):
+        _assert_files_equal(got[part], exp[part])
+
+
+def test_stream_run_empty_first_stripe(grid_file, tmp_path):
+    """An all-land leading stripe defers dataset creation; the
+    fillvalue must cover it (no explicit write ever lands there)."""
+    import h5py
+
+    ds = xm.open_dataset(grid_file)
+    sst = np.asarray(ds["sst"].data).copy()
+    sst[:, :5, :] = np.nan  # land out stripe 1 entirely
+    ds2 = Dataset()
+    ds2["sst"] = DataArray(
+        sst, ("time", "lat", "lon"),
+        {k: ds["sst"].coords[k] for k in ("time", "lat", "lon")},
+        {"units": "degC"})
+    path = str(tmp_path / "landtop.nc")
+    xm.save_dataset(ds2, path)
+
+    def run(d, stripe):
+        d.mkdir(exist_ok=True)
+        return stream_run(
+            path, "sst", str(d / "c.nc"), str(d / "m.nc"),
+            block_path=str(d / "b.nc"), rank_path=str(d / "r.nc"),
+            stripe=stripe, dtype=np.float64)
+
+    got = run(tmp_path / "striped", 5)
+    exp = run(tmp_path / "single", 12)
+    for part in ("clim", "mhw", "block", "rank", "return"):
+        _assert_files_equal(got[part], exp[part])
+    with h5py.File(got["mhw"], "r") as f:
+        assert np.isnan(f["event"][:, :5, :]).all()

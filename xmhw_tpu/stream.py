@@ -135,9 +135,16 @@ def _auto_stripe(T, grid_shape, itemsize=4, budget=2 ** 28):
 
 
 class _Writer:
-    """Incremental NetCDF4 writer (dimension-scales convention)."""
+    """Incremental NetCDF4 writer (dimension-scales convention).
 
-    def __init__(self, path, dim_coords, global_attrs=None):
+    ``resizable`` names dimensions whose length may grow after creation
+    (see :meth:`resize_dim`) — their scales are created chunked with an
+    unlimited maxshape, as are any variables created with that dim in
+    ``grow_dims``.
+    """
+
+    def __init__(self, path, dim_coords, global_attrs=None,
+                 resizable=()):
         import h5py
 
         self.h = h5py.File(path, "w")
@@ -151,7 +158,10 @@ class _Writer:
                     t, getattr(t, "encoding", {}).get("units"))
                 attrs = dict(attrs or {}, units=units, calendar=cal)
                 vals = raw
-            node = self.h.create_dataset(name, data=np.asarray(vals))
+            vals = np.asarray(vals)
+            kw = ({"maxshape": (None,), "chunks": (max(1, len(vals)),)}
+                  if name in resizable else {})
+            node = self.h.create_dataset(name, data=vals, **kw)
             node.make_scale(name)
             for k, v in (attrs or {}).items():
                 try:
@@ -166,11 +176,12 @@ class _Writer:
                 self.h.attrs[k] = str(v)
 
     def create(self, name, dims, dtype, attrs=None, fill=np.nan,
-               chunks=None, compress=None):
+               chunks=None, compress=None, grow_dims=()):
         shape = tuple(self.scales[d].shape[0] for d in dims)
         kw = {}
-        if compress and not chunks:
-            # gzip requires a chunked layout; one grid row per chunk
+        if (compress or grow_dims) and not chunks:
+            # gzip and unlimited dims require a chunked layout; one grid
+            # row per chunk
             chunks = (shape[0], 1) + shape[2:] if len(shape) > 1 else shape
         if chunks and all(s > 0 for s in shape):
             # h5py rejects chunked layouts with any zero extent (e.g. an
@@ -182,6 +193,10 @@ class _Writer:
                 # shuffle + gzip compresses the NaN-padded tables ~5-20x
                 kw.update(compression="gzip",
                           compression_opts=int(compress), shuffle=True)
+            if grow_dims:
+                kw["maxshape"] = tuple(
+                    None if d in grow_dims else s
+                    for d, s in zip(dims, shape))
         node = self.h.create_dataset(name, shape=shape, dtype=dtype,
                                      fillvalue=fill, **kw)
         for i, d in enumerate(dims):
@@ -194,6 +209,14 @@ class _Writer:
             except TypeError:
                 node.attrs[k] = str(v)
         return node
+
+    def resize_dim(self, name, vals):
+        """Grow a ``resizable`` dimension scale and rewrite its values.
+        Variables using the dim must be resized by the caller (h5py
+        fills the new region with each dataset's fillvalue)."""
+        node = self.scales[name]
+        node.resize((len(vals),))
+        node[...] = np.asarray(vals)
 
     def close(self):
         self.h.close()
@@ -238,6 +261,49 @@ def _prefetched(pairs, fetch):
                                  daemon=True)
             t.start()
         yield lo, hi, val
+
+
+class _WriteBehind:
+    """Single-slot deferred writer: ``submit(fn)`` joins the previous
+    job, then runs ``fn`` on a worker thread. Lets one stripe's output
+    writes (HDF5 region writes + host expansion, GIL released inside
+    HDF5) overlap the NEXT stripe's device step (tunnel/kernel waits,
+    GIL released in the socket layer). With the one-ahead read
+    prefetcher this makes the steady state three stripes in flight:
+    reading N+1, device-stepping N, writing N-1 — each on the resource
+    it is bound by. Exactly one job is ever pending, so host memory
+    stays bounded at one extra stripe of fetched outputs (captured by
+    the closure). Worker exceptions re-raise at the next submit()/
+    finish(). All shared write state (reused expansion buffers, the
+    _Writer/_StreamTableWriter objects) must be touched ONLY inside
+    submitted jobs — the single slot serializes them."""
+
+    def __init__(self):
+        import threading
+
+        self._threading = threading
+        self._t = None
+        self._err = None
+
+    def _run(self, fn):
+        try:
+            fn()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            self._err = e
+
+    def submit(self, fn):
+        self.finish()
+        self._t = self._threading.Thread(target=self._run, args=(fn,),
+                                         daemon=True)
+        self._t.start()
+
+    def finish(self):
+        if self._t is not None:
+            self._t.join()
+            self._t = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
 
 
 def _compact_ocean(block, anynans=False):
@@ -344,6 +410,7 @@ def stream_threshold(
 
         edges = [(lo, min(lo + rows, g.grid_shape[0]))
                  for lo in range(0, g.grid_shape[0], rows)]
+        wb = _WriteBehind()
         for lo, hi, (comp, keep) in _prefetched(edges, _fetch):
             c_str = (hi - lo) * row_cells
             th = se = None
@@ -352,13 +419,19 @@ def stream_threshold(
                     comp, doy, windowHalfWidth, ndoy, pctile=pctile,
                     smooth=smoothPercentile, smooth_w=smoothPercentileWidth,
                     patch_feb29=not tstep, block=cell_block, mesh=mesh)
-            for name, vals in (("thresh", th), ("seas", se)):
-                view = buf[:, :c_str]
-                view.fill(np.nan)
-                if vals is not None:
-                    view[:, keep] = vals
-                out_vars[name][:, lo:hi] = view.reshape(
-                    ndoy, hi - lo, *g.grid_shape[1:])
+
+            def _write(lo=lo, hi=hi, c_str=c_str, keep=keep, th=th,
+                       se=se):
+                for name, vals in (("thresh", th), ("seas", se)):
+                    view = buf[:, :c_str]
+                    view.fill(np.nan)
+                    if vals is not None:
+                        view[:, keep] = vals
+                    out_vars[name][:, lo:hi] = view.reshape(
+                        ndoy, hi - lo, *g.grid_shape[1:])
+
+            wb.submit(_write)
+        wb.finish()
         w.close()
     return out_path
 
@@ -445,6 +518,112 @@ def _write_table_file(out_path, stripes, names, g, ev_dim, ev_vals,
     w.close()
 
 
+class _StreamTableWriter:
+    """Incremental compact-layout event-table writer: each stripe's
+    tables stream to disk as soon as they are produced, so host memory
+    stays O(stripe) instead of accumulating every stripe's compact
+    tables for a final write pass (~31 x K x ocean_cells values — tens
+    of GB at planet scale; this removes both that resident set and the
+    serial write tail after the last device step).
+
+    Datasets are created at the first non-empty stripe with the ``ev``
+    axis sized to that stripe's K and an unlimited maxshape; if a later
+    stripe arrives with a larger K (run_detect/run_fused only ever grow
+    K), every variable and the ``ev`` scale are resized — HDF5 fills
+    the new region with the NaN fillvalue, exactly the grown-table
+    semantics of the in-memory path. Only the compact layout can be
+    streamed this way: the union layout's event axis is the global
+    union of start indexes, unknown until every stripe has run (that
+    path keeps the accumulate-then-write flow in _write_table_file).
+    """
+
+    def __init__(self, out_path, g, time_vals, units, cal, global_attrs,
+                 rows, row_cells, attrs_of=None, dtype_of=None,
+                 compress=None):
+        self.out_path = out_path
+        self.g = g
+        self.time_vals = time_vals
+        self.units = units
+        self.cal = cal
+        self.global_attrs = global_attrs
+        self.rows = rows
+        self.row_cells = row_cells
+        self.attrs_of = attrs_of
+        self.dtype_of = dtype_of
+        self.compress = compress
+        self.w = None
+        self.vars = {}
+        self.E = 0
+        self._bufs = {}
+
+    def _buf(self, dt):
+        dt = np.dtype(dt)
+        if dt.kind != "f":
+            dt = np.dtype(np.float64)
+        b = self._bufs.get(dt)
+        if b is None or b.shape[0] < self.E:
+            b = alloc_filled((max(self.E, 1),
+                              self.rows * self.row_cells), np.nan, dt)
+            self._bufs[dt] = b
+        return b
+
+    def _ensure(self, tables):
+        E = next(iter(tables.values())).shape[0]
+        g = self.g
+        if self.w is None:
+            dim_coords = {"ev": (np.arange(E), {})}
+            for d in g.grid_dims:
+                dim_coords[d] = g.coord(d)
+            self.w = _Writer(self.out_path, dim_coords,
+                             global_attrs=self.global_attrs,
+                             resizable=("ev",))
+            self.E = E
+            for name, tab in tables.items():
+                if self.dtype_of is not None:
+                    dt = self.dtype_of(name, tab)
+                else:
+                    dt = (np.float64 if name in _TIME_LIKE
+                          else tab.dtype)
+                self.vars[name] = self.w.create(
+                    name, ("ev", *g.grid_dims), np.dtype(dt).str,
+                    self.attrs_of(name) if self.attrs_of else {},
+                    chunks=(max(1, min(E, 4096)), 1,
+                            *g.grid_shape[1:]),
+                    compress=self.compress, grow_dims=("ev",))
+        elif E > self.E:
+            self.w.resize_dim("ev", np.arange(E))
+            for node in self.vars.values():
+                node.resize(E, axis=0)
+            self.E = E
+
+    def write(self, lo, hi, keep, tables):
+        """Scatter one stripe's compact (K_b, n_keep) tables into the
+        (ev, grid) layout — the same expansion as _write_table_file's
+        compact branch. Land-only stripes need no write: the datasets'
+        NaN fillvalue already covers them."""
+        if not tables:
+            return
+        self._ensure(tables)
+        g = self.g
+        c_str = (hi - lo) * self.row_cells
+        for name, tab in tables.items():
+            node = self.vars[name]
+            view = self._buf(node.dtype)[:self.E, :c_str]
+            view.fill(np.nan)
+            if keep.size:
+                if name in _TIME_LIKE:
+                    tab = _encode_times(tab.astype(np.int64),
+                                        self.time_vals, self.units,
+                                        self.cal)
+                view[:tab.shape[0], keep] = tab
+            node[:, lo:hi] = view.reshape(
+                self.E, hi - lo, *g.grid_shape[1:])
+
+    def close(self):
+        if self.w is not None:
+            self.w.close()
+
+
 def stream_detect(
     ts_path,
     var,
@@ -478,11 +657,13 @@ def stream_detect(
     ~5-20x.
 
     Host memory: the time-series data is streamed per stripe
-    (O(time x stripe)), but the COMPACT per-stripe event tables of every
-    stripe are retained between the detect pass and the write pass —
-    ~31 x K x ocean_cells values total (the union axis is only known
-    after all stripes are detected). At 620k ocean cells / K=128 that is
-    a few GB of host tables; the grid itself is never resident.
+    (O(time x stripe)). With the default ``events_layout="compact"``
+    the event tables also stream to disk stripe-by-stripe (resizable
+    ``ev`` axis), so the resident set stays O(stripe). The ``"union"``
+    layout must retain every stripe's compact tables until the end —
+    its event axis is the global union of start indexes, only known
+    after all stripes are detected (~31 x K x ocean_cells values, a few
+    GB at 620k ocean cells / K=128); the grid itself is never resident.
 
     ``events_layout="compact"`` writes (ev, lat, lon, ...) per-cell event
     slots — the planet-scale layout. ``"union"`` writes the reference's
@@ -533,7 +714,32 @@ def stream_detect(
         rows = stripe or _auto_stripe(T, g.grid_shape)
         row_cells = int(np.prod(g.grid_shape[1:], dtype=np.int64)) or 1
 
-        # ---- phase A: detect per stripe, keep compact tables ------------
+        u = g.attrs.get("units", "degree_C")
+        if isinstance(u, bytes):
+            u = u.decode("utf-8", "replace")
+
+        def _attrs_of(name):
+            attrs = {}
+            if name in MHW_VAR_ATTRS:
+                long_name, unit_t = MHW_VAR_ATTRS[name]
+                attrs = {"long_name": long_name,
+                         "units": str(unit_t).format(u=str(u))}
+            if name in _TIME_LIKE and units:
+                attrs.update(units=units, calendar=cal)
+            return attrs
+
+        out_attrs = {"xmhw_parameters": detect_params_attr(
+            minDuration, joinGaps, maxGap, coldSpells, maxPadLength,
+            anynans),
+            "source": "xmhw_tpu stream_detect"}
+        compact = events_layout != "union"
+        tw = (_StreamTableWriter(out_path, g, time_vals, units, cal,
+                                 out_attrs, rows, row_cells,
+                                 attrs_of=_attrs_of, compress=compress)
+              if compact else None)
+
+        # ---- phase A: detect per stripe; compact tables stream to disk,
+        # union-layout tables are retained for the phase-B union scatter
         stripes = []  # (lo, hi, keep, tables {name: (K_b, n_keep)})
         kmax = 1
         label_union = []
@@ -556,9 +762,11 @@ def stream_detect(
 
         edges = [(lo, min(lo + rows, g.grid_shape[0]))
                  for lo in range(0, g.grid_shape[0], rows)]
+        wb = _WriteBehind()
         for lo, hi, (comp, keep, th, se) in _prefetched(edges, _fetch):
             if keep.size == 0:
-                stripes.append((lo, hi, keep, {}))
+                if not compact:
+                    stripes.append((lo, hi, keep, {}))
                 continue
             tables, n_events, inter = run_detect(
                 comp, th, se, doy_pos, min_duration=minDuration,
@@ -566,12 +774,9 @@ def stream_detect(
                 mesh=mesh, intermediate=intermediate,
                 day0_fillna_quirk=reference_quirks,
                 k_min=kmax)  # stabilize K across stripes (one compile)
-            if intermediate:
-                if iw is None:
-                    iw, inter_vars = _make_inter_writer(
-                        inter_path, tindex, g, tdim, inter)
-                _write_inter_stripe(inter_vars, inter, lo, hi, keep, g,
-                                    row_cells, T)
+            if intermediate and iw is None:
+                iw, inter_vars = _make_inter_writer(
+                    inter_path, tindex, g, tdim, inter)
             if coldSpells:
                 # flip_cold (reference: xmhw/features.py:298-315): cold
                 # spells report negated intensities, variances excluded
@@ -579,49 +784,46 @@ def stream_detect(
                     if "intensity" in k and "_var" not in k:
                         tables[k] = -tables[k]
             kmax = max(kmax, tables["event"].shape[0])
-            if events_layout == "union":
+            if not compact:
                 lab = tables["event"]
                 fin = np.isfinite(lab)
                 if fin.any():
                     label_union.append(np.unique(lab[fin]))
-            stripes.append((lo, hi, keep, tables))
+                stripes.append((lo, hi, keep, tables))
 
-        # ---- phase B: write --------------------------------------------
-        if events_layout == "union":
-            union = (np.unique(np.concatenate(label_union)).astype(np.int64)
-                     if label_union else np.zeros(0, np.int64))
-            ev_dim, ev_vals = "events", union
+            def _write(lo=lo, hi=hi, keep=keep, tables=tables,
+                       inter=inter):
+                if intermediate:
+                    _write_inter_stripe(inter_vars, inter, lo, hi,
+                                        keep, g, row_cells, T)
+                if compact:
+                    tw.write(lo, hi, keep, tables)
+
+            wb.submit(_write)
+        wb.finish()
+
+        # ---- phase B: close (compact) / union scatter-write -------------
+        if compact:
+            if tw.w is None:
+                raise XmhwException(
+                    "All points of grid are either land or NaN")
+            tw.close()
         else:
-            union = None
-            ev_dim, ev_vals = "ev", np.arange(kmax)
-        some = next((s for s in stripes if s[3]), None)
-        if some is None:
-            raise XmhwException("All points of grid are either land or NaN")
-        names = list(some[3].keys())
-        u = g.attrs.get("units", "degree_C")
-        if isinstance(u, bytes):
-            u = u.decode("utf-8", "replace")
-
-        def _attrs_of(name):
-            attrs = {}
-            if name in MHW_VAR_ATTRS:
-                long_name, unit_t = MHW_VAR_ATTRS[name]
-                attrs = {"long_name": long_name,
-                         "units": str(unit_t).format(u=str(u))}
-            if name in _TIME_LIKE and units:
-                attrs.update(units=units, calendar=cal)
-            return attrs
-
-        _write_table_file(
-            out_path,
-            [(lo, hi, keep, tables, tables.get("event"))
-             for lo, hi, keep, tables in stripes],
-            names, g, ev_dim, ev_vals, union, time_vals, units, cal,
-            {"xmhw_parameters": detect_params_attr(
-                minDuration, joinGaps, maxGap, coldSpells, maxPadLength,
-                anynans),
-             "source": "xmhw_tpu stream_detect"},
-            rows, row_cells, attrs_of=_attrs_of, compress=compress)
+            union = (np.unique(np.concatenate(label_union))
+                     .astype(np.int64) if label_union
+                     else np.zeros(0, np.int64))
+            some = next((s for s in stripes if s[3]), None)
+            if some is None:
+                raise XmhwException(
+                    "All points of grid are either land or NaN")
+            names = list(some[3].keys())
+            _write_table_file(
+                out_path,
+                [(lo, hi, keep, tables, tables.get("event"))
+                 for lo, hi, keep, tables in stripes],
+                names, g, "events", union, union, time_vals, units, cal,
+                out_attrs, rows, row_cells, attrs_of=_attrs_of,
+                compress=compress)
         if iw is not None:
             iw.close()
     if intermediate:
@@ -1132,6 +1334,37 @@ def stream_run(
                                 np.float64)
         cbuf = alloc_filled((ndoy, rows * row_cells), np.nan, dtype)
 
+        def _attrs_of(name):
+            attrs = {}
+            if name in MHW_VAR_ATTRS:
+                long_name, unit_t = MHW_VAR_ATTRS[name]
+                attrs = {"long_name": long_name,
+                         "units": str(unit_t).format(u=u)}
+            if name in _TIME_LIKE and units:
+                attrs.update(units=units, calendar=cal)
+            return attrs
+
+        mhw_attrs = {"xmhw_parameters": detect_params_attr(
+            minDuration, joinGaps, maxGap, coldSpells, maxPadLength,
+            anynans),
+            "source": "xmhw_tpu stream_run"}
+        compact = events_layout != "union"
+        # compact layout: tables/ranks stream to disk per stripe (host
+        # memory O(stripe)); union layout accumulates for the phase-B
+        # union scatter (its event axis needs every stripe first)
+        tw = rw = None
+        if compact:
+            tw = _StreamTableWriter(mhw_path, g, time_vals, units, cal,
+                                    mhw_attrs, rows, row_cells,
+                                    attrs_of=_attrs_of,
+                                    compress=compress)
+            if rank_path is not None:
+                rw = _StreamTableWriter(
+                    rank_path, g, time_vals, units, cal,
+                    {"source": "xmhw_tpu stream_run ranks"},
+                    rows, row_cells, dtype_of=lambda n, a: "f4",
+                    compress=compress)
+
         # ---- phase A: one fused pass per stripe -------------------------
         stripes = []        # (lo, hi, keep_det, tables, labels)
         rank_stripes = []   # (lo, hi, keep_det, ranks, labels)
@@ -1161,28 +1394,35 @@ def stream_run(
 
         edges = [(lo, min(lo + rows, g.grid_shape[0]))
                  for lo in range(0, g.grid_shape[0], rows)]
+        wb = _WriteBehind()
         for lo, hi, fetched in _prefetched(edges, _fetch):
             comp_i, ts_day, keep_all, det_in_all = fetched
             c_str = (hi - lo) * row_cells
             keep_det = keep_all[det_in_all]
             if keep_all.size == 0:
-                stripes.append((lo, hi, keep_det, {}, None))
-                if rank_path is not None:
-                    rank_stripes.append((lo, hi, keep_det, {}, None))
-                for name, node in clim_vars.items():
-                    view = cbuf[:, :c_str]
-                    view.fill(np.nan)
-                    node[:, lo:hi] = view.reshape(
-                        ndoy, hi - lo, *g.grid_shape[1:])
-                if with_stats:
-                    for name in blk_names:
-                        view = bbuf[:, :c_str]
-                        view.fill(0.0 if name in ("ecount", "total_icum")
-                                  or name.endswith("_days") else np.nan)
-                        if removeMissing:
-                            view.fill(np.nan)
-                        blk_vars[name][:, lo:hi] = view.reshape(
-                            nbins, hi - lo, *g.grid_shape[1:])
+                if not compact:
+                    stripes.append((lo, hi, keep_det, {}, None))
+                    if rank_path is not None:
+                        rank_stripes.append((lo, hi, keep_det, {}, None))
+
+                def _wempty(lo=lo, hi=hi, c_str=c_str):
+                    for name, node in clim_vars.items():
+                        view = cbuf[:, :c_str]
+                        view.fill(np.nan)
+                        node[:, lo:hi] = view.reshape(
+                            ndoy, hi - lo, *g.grid_shape[1:])
+                    if with_stats:
+                        for name in blk_names:
+                            view = bbuf[:, :c_str]
+                            view.fill(
+                                0.0 if name in ("ecount", "total_icum")
+                                or name.endswith("_days") else np.nan)
+                            if removeMissing:
+                                view.fill(np.nan)
+                            blk_vars[name][:, lo:hi] = view.reshape(
+                                nbins, hi - lo, *g.grid_shape[1:])
+
+                wb.submit(_wempty)
                 continue
             ts_clim = comp_i[t_sel] if t_sel is not None else None
             th, se, tables, nev, extras = run_fused(
@@ -1217,20 +1457,22 @@ def stream_run(
             tables = {k: v[:, det_in_all] for k, v in tables.items()}
             labels = tables["event"]
             kmax = max(kmax, labels.shape[0])
-            if events_layout == "union":
+            if not compact:
+                from .stats_api import rank_variable
+
                 fin = np.isfinite(labels)
                 if fin.any():
                     label_union.append(np.unique(labels[fin]))
-            stripes.append((lo, hi, keep_det, tables, labels))
-            if rank_path is not None:
-                from .stats_api import rank_variable
-
-                # host ranking of the (already flipped+masked) tables;
-                # rank_variable matches core/stats.rank_events_desc's
-                # tie semantics exactly (both tested vs the reference)
-                ranks = {k: rank_variable(tables[k], axis=0)
-                         for k in rank_names}
-                rank_stripes.append((lo, hi, keep_det, ranks, labels))
+                stripes.append((lo, hi, keep_det, tables, labels))
+                if rank_path is not None:
+                    # host ranking of the (already flipped+masked)
+                    # tables; rank_variable matches
+                    # core/stats.rank_events_desc's tie semantics
+                    # exactly (both tested vs the reference)
+                    ranks = {k: rank_variable(tables[k], axis=0)
+                             for k in rank_names}
+                    rank_stripes.append((lo, hi, keep_det, ranks,
+                                         labels))
             ts_det = tables["time_start"]
             te_det = tables["time_end"]
             vmask = ts_det >= 0
@@ -1240,88 +1482,106 @@ def stream_run(
                 smin = s0 if smin is None else min(smin, s0)
                 emax = e1 if emax is None else max(emax, e1)
 
-            # clim: written at the anynans-kept cells only (parity with
-            # stream_threshold's compaction)
-            for name, vals in (("thresh", th), ("seas", se)):
-                view = cbuf[:, :c_str]
-                view.fill(np.nan)
-                view[:, keep_det] = vals[:, det_in_all]
-                clim_vars[name][:, lo:hi] = view.reshape(
-                    ndoy, hi - lo, *g.grid_shape[1:])
+            def _wstripe(lo=lo, hi=hi, c_str=c_str, keep_all=keep_all,
+                         keep_det=keep_det, det_in_all=det_in_all,
+                         tables=tables, th=th, se=se, extras=extras):
+                if compact:
+                    tw.write(lo, hi, keep_det, tables)
+                    if rw is not None:
+                        from .stats_api import rank_variable
 
-            if with_stats:
-                day = extras["day"]
-                blk = extras["block"]
-                nan_days = (np.asarray(day["nan_days"])
-                            if removeMissing else None)
-                for name in blk_names:
-                    view = bbuf[:, :c_str]
-                    if name in day:
-                        view.fill(0.0 if name.endswith("_days")
-                                  else np.nan)
-                        view[:, keep_all] = day[name]
-                    else:
-                        # empty-bin/land semantics of the event half:
-                        # counts and sums are 0, means/maxes NaN
-                        view.fill(0.0 if name in ("ecount", "total_icum")
-                                  else np.nan)
-                        view[:, keep_det] = blk[name][:, det_in_all]
-                    if removeMissing:
-                        mask = np.ones((nbins, c_str), bool)
-                        mask[:, keep_all] = nan_days > 0
-                        view[mask] = np.nan
-                    blk_vars[name][:, lo:hi] = view.reshape(
-                        nbins, hi - lo, *g.grid_shape[1:])
+                        # host ranking (double argsort, ~2 s/stripe at
+                        # planet scale) rides the write-behind thread —
+                        # hidden behind the next stripe's device step
+                        ranks = {k: rank_variable(tables[k], axis=0)
+                                 for k in rank_names}
+                        rw.write(lo, hi, keep_det, ranks)
+                # clim: written at the anynans-kept cells only (parity
+                # with stream_threshold's compaction)
+                for name, vals in (("thresh", th), ("seas", se)):
+                    view = cbuf[:, :c_str]
+                    view.fill(np.nan)
+                    view[:, keep_det] = vals[:, det_in_all]
+                    clim_vars[name][:, lo:hi] = view.reshape(
+                        ndoy, hi - lo, *g.grid_shape[1:])
+                if with_stats:
+                    day = extras["day"]
+                    blk = extras["block"]
+                    nan_days = (np.asarray(day["nan_days"])
+                                if removeMissing else None)
+                    for name in blk_names:
+                        view = bbuf[:, :c_str]
+                        if name in day:
+                            view.fill(0.0 if name.endswith("_days")
+                                      else np.nan)
+                            view[:, keep_all] = day[name]
+                        else:
+                            # empty-bin/land semantics of the event
+                            # half: counts and sums are 0, means/maxes
+                            # NaN
+                            view.fill(
+                                0.0 if name in ("ecount", "total_icum")
+                                else np.nan)
+                            view[:, keep_det] = blk[name][:, det_in_all]
+                        if removeMissing:
+                            mask = np.ones((nbins, c_str), bool)
+                            mask[:, keep_all] = nan_days > 0
+                            view[mask] = np.nan
+                        blk_vars[name][:, lo:hi] = view.reshape(
+                            nbins, hi - lo, *g.grid_shape[1:])
+
+            wb.submit(_wstripe)
+        wb.finish()
         cw.close()
         if bw is not None:
             bw.close()
 
         # ---- phase B: event-table files ---------------------------------
-        if events_layout == "union":
-            union = (np.unique(np.concatenate(label_union))
-                     .astype(np.int64) if label_union
-                     else np.zeros(0, np.int64))
-            ev_dim, ev_vals = "events", union
+        # nYears exactly as stream_rank derives it from the written mhw
+        # file (record span; reference: stats.py:477-478)
+        if smin is None:
+            nYears = 14245 / 365.25
         else:
-            union = None
-            ev_dim, ev_vals = "ev", np.arange(kmax)
+            idx = np.array([[smin], [emax]], np.int64)
+            enc = _encode_times(idx, time_vals, units, cal)
+            tattrs = ({"units": units, "calendar": cal}
+                      if units else {})
+            nYears = _record_nyears(enc[0], enc[1], tattrs)
+        out = {"clim": clim_path, "mhw": mhw_path}
+        if with_stats:
+            out["block"] = block_path
+
+        if compact:
+            # tables/ranks already on disk (streamed per stripe)
+            if tw.w is None:
+                raise XmhwException(
+                    "All points of grid are either land or NaN")
+            tw.close()
+            if rw is not None:
+                # nYears is a record-span global, only known now
+                rw.w.h.attrs["nYears"] = nYears
+                rw.close()
+                _write_return_file(
+                    return_path, rank_path, rank_names, g, nYears,
+                    edges, compress)
+                out["rank"] = rank_path
+                out["return"] = return_path
+            return out
+
+        union = (np.unique(np.concatenate(label_union))
+                 .astype(np.int64) if label_union
+                 else np.zeros(0, np.int64))
+        ev_dim, ev_vals = "events", union
         some = next((s for s in stripes if s[3]), None)
         if some is None:
             raise XmhwException("All points of grid are either land or NaN")
         names = list(some[3].keys())
 
-        def _attrs_of(name):
-            attrs = {}
-            if name in MHW_VAR_ATTRS:
-                long_name, unit_t = MHW_VAR_ATTRS[name]
-                attrs = {"long_name": long_name,
-                         "units": str(unit_t).format(u=u)}
-            if name in _TIME_LIKE and units:
-                attrs.update(units=units, calendar=cal)
-            return attrs
-
         _write_table_file(
             mhw_path, stripes, names, g, ev_dim, ev_vals, union,
-            time_vals, units, cal,
-            {"xmhw_parameters": detect_params_attr(
-                minDuration, joinGaps, maxGap, coldSpells, maxPadLength,
-                anynans),
-             "source": "xmhw_tpu stream_run"},
+            time_vals, units, cal, mhw_attrs,
             rows, row_cells, attrs_of=_attrs_of, compress=compress)
-        out = {"clim": clim_path, "mhw": mhw_path}
-        if with_stats:
-            out["block"] = block_path
         if rank_path is not None:
-            # nYears exactly as stream_rank derives it from the written
-            # mhw file (record span; reference: stats.py:477-478)
-            if smin is None:
-                nYears = 14245 / 365.25
-            else:
-                idx = np.array([[smin], [emax]], np.int64)
-                enc = _encode_times(idx, time_vals, units, cal)
-                tattrs = ({"units": units, "calendar": cal}
-                          if units else {})
-                nYears = _record_nyears(enc[0], enc[1], tattrs)
             _write_table_file(
                 rank_path, rank_stripes, list(rank_names), g, ev_dim,
                 ev_vals, union, time_vals, units, cal,
@@ -1343,6 +1603,36 @@ def stream_run(
             out["rank"] = rank_path
             out["return"] = return_path
     return out
+
+
+def _write_return_file(return_path, rank_path, rank_names, g, nYears,
+                       edges, compress):
+    """Return periods (nYears+1)/rank, derived by reading the written
+    rank file back stripe-by-stripe (nYears is a record-span global, so
+    return values cannot stream during phase A; ranks are exact small
+    integers, so f4 storage loses nothing and the f8 division
+    reproduces the in-memory computation bit-for-bit)."""
+    import h5py
+
+    kmax_w = None
+    with h5py.File(rank_path, "r") as rf:
+        kmax_w = rf["ev"].shape[0]
+        dim_coords = {"ev": (np.arange(kmax_w), {})}
+        for d in g.grid_dims:
+            dim_coords[d] = g.coord(d)
+        retw = _Writer(return_path, dim_coords, global_attrs={
+            "source": "xmhw_tpu stream_run return periods",
+            "nYears": nYears})
+        ret_vars = {name: retw.create(
+            name, ("ev", *g.grid_dims), "f4",
+            chunks=(max(1, min(kmax_w, 4096)), 1, *g.grid_shape[1:]),
+            compress=compress) for name in rank_names}
+        for lo, hi in edges:
+            for name in rank_names:
+                v = rf[name][:, lo:hi].astype(np.float64)
+                ret_vars[name][:, lo:hi] = (
+                    (nYears + 1) / v).astype(np.float32)
+        retw.close()
 
 
 def _make_inter_writer(inter_path, tindex, g, tdim, inter):
