@@ -968,6 +968,7 @@ def stream_block_average(
 
             bedges = [(lo, min(lo + rows, gm.grid_shape[0]))
                       for lo in range(0, gm.grid_shape[0], rows)]
+            wb = _WriteBehind()
             for lo, hi, fetched in _prefetched(bedges, _fetch):
                 t0, vals, comp2, keep2, th_p, se_p = fetched
                 c_str = (hi - lo) * row_cells
@@ -985,6 +986,7 @@ def stream_block_average(
                     jnp.asarray(ev_valid & in_range), nbins)
                 res.update({k: np.asarray(v) for k, v in dev.items()})
                 # ---- per-day half ------------------------------------
+                day = nan_days = None
                 if gts is not None:
                     ts_b = jnp.asarray(comp2)
                     if gth is not None:
@@ -996,26 +998,36 @@ def stream_block_average(
                     day = binned_day_stats(
                         ts_b, cats_b, edges, with_cats=gth is not None,
                         count_nans=removeMissing)
-                    nan_days = (np.asarray(day.pop("nan_days"))
+                    day = {k: np.asarray(v) for k, v in day.items()}
+                    nan_days = (day.pop("nan_days")
                                 if removeMissing else None)
-                    # scatter compacted results back to stripe width:
-                    # land cells get NaN means and ZERO day counts,
-                    # matching the in-memory device path on full grids
-                    for k, v in day.items():
-                        fill = 0.0 if k.endswith("_days") else np.nan
-                        full_v = np.full((nbins, c_str), fill)
-                        full_v[:, keep2] = np.asarray(v)[:, :keep2.size]
-                        res[k] = full_v
-                    if nan_days is not None:
-                        mask = np.ones((nbins, c_str), bool)
-                        mask[:, keep2] = nan_days[:, :keep2.size] > 0
-                        res = {k: np.where(mask, np.nan, v)
-                               for k, v in res.items()}
-                for name in out_names:
-                    view = buf[:, :c_str]
-                    view[...] = res[name]
-                    out_vars[name][:, lo:hi] = view.reshape(
-                        nbins, hi - lo, *gm.grid_shape[1:])
+
+                def _write(lo=lo, hi=hi, c_str=c_str, keep2=keep2,
+                           res=res, day=day, nan_days=nan_days):
+                    if day is not None:
+                        # scatter compacted results back to stripe
+                        # width: land cells get NaN means and ZERO day
+                        # counts, matching the in-memory device path on
+                        # full grids
+                        for k, v in day.items():
+                            fill = (0.0 if k.endswith("_days")
+                                    else np.nan)
+                            full_v = np.full((nbins, c_str), fill)
+                            full_v[:, keep2] = v[:, :keep2.size]
+                            res[k] = full_v
+                        if nan_days is not None:
+                            mask = np.ones((nbins, c_str), bool)
+                            mask[:, keep2] = nan_days[:, :keep2.size] > 0
+                            for k in list(res):
+                                res[k] = np.where(mask, np.nan, res[k])
+                    for name in out_names:
+                        view = buf[:, :c_str]
+                        view[...] = res[name]
+                        out_vars[name][:, lo:hi] = view.reshape(
+                            nbins, hi - lo, *gm.grid_shape[1:])
+
+                wb.submit(_write)
+            wb.finish()
             for r in evr.values():
                 r.close()
             w.close()
@@ -1162,13 +1174,20 @@ def stream_rank(
 
         redges = [(lo, min(lo + rows, gm.grid_shape[0]))
                   for lo in range(0, gm.grid_shape[0], rows)]
+        wb = _WriteBehind()
         for lo, hi, blk in _prefetched(redges, _fetch):
             r_all = np.asarray(rank_b(jnp.asarray(blk)))
-            shape = (K, hi - lo, *gm.grid_shape[1:])
-            for i, v in enumerate(variables):
-                r = r_all[i]
-                rvars[v][:, lo:hi] = r.reshape(shape)
-                pvars[v][:, lo:hi] = ((nYears + 1) / r).reshape(shape)
+
+            def _write(lo=lo, hi=hi, r_all=r_all):
+                shape = (K, hi - lo, *gm.grid_shape[1:])
+                for i, v in enumerate(variables):
+                    r = r_all[i]
+                    rvars[v][:, lo:hi] = r.reshape(shape)
+                    pvars[v][:, lo:hi] = (
+                        (nYears + 1) / r).reshape(shape)
+
+            wb.submit(_write)
+        wb.finish()
         wr.close()
         wp.close()
         gm.close()
