@@ -256,3 +256,106 @@ def test_stream_run_empty_first_stripe(grid_file, tmp_path):
         _assert_files_equal(got[part], exp[part])
     with h5py.File(got["mhw"], "r") as f:
         assert np.isnan(f["event"][:, :5, :]).all()
+
+
+# ---- resume: interrupted planet run picks up its clean prefix ----------
+
+def test_stream_run_resume_after_kill(grid_file, tmp_path):
+    """Kill stream_run mid-run (hard exit during the 3rd fused stripe,
+    like an OOM-kill or preemption), then resume=True: completed
+    stripes are skipped, the rest recomputed, and every output file
+    equals an uninterrupted run's."""
+    import subprocess
+    import sys
+
+    d = tmp_path / "resumed"
+    d.mkdir()
+    args = (f"{grid_file!r}, 'sst', {str(d / 'c.nc')!r}, "
+            f"{str(d / 'm.nc')!r}, block_path={str(d / 'b.nc')!r}, "
+            f"rank_path={str(d / 'r.nc')!r}, stripe=3, "
+            "dtype=np.float64")
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    doomed = f"""
+import sys, time
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+from xmhw_tpu.core import pipeline as pl
+orig = pl.run_fused
+state = {{"n": 0}}
+def bomb(*a, **k):
+    state["n"] += 1
+    if state["n"] >= 3:
+        time.sleep(1.0)   # let stripe 2's write-behind job settle
+        import os
+        os._exit(9)       # hard kill: no cleanup, like a crash
+    return orig(*a, **k)
+pl.run_fused = bomb
+import xmhw_tpu as xm
+xm.stream_run({args})
+"""
+    r = subprocess.run([sys.executable, "-c", doomed],
+                       capture_output=True, text=True)
+    assert r.returncode == 9, (r.returncode, r.stderr[-2000:])
+    import h5py
+
+    with h5py.File(str(d / "c.nc"), "r") as f:
+        assert "xmhw_resume" in f.attrs  # watermark survived the kill
+
+    resumed = f"""
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+from xmhw_tpu.core import pipeline as pl
+orig = pl.run_fused
+state = {{"n": 0}}
+def count(*a, **k):
+    state["n"] += 1
+    return orig(*a, **k)
+pl.run_fused = count
+import xmhw_tpu as xm
+out = xm.stream_run({args}, resume=True)
+print("FUSED_CALLS", state["n"])
+"""
+    r = subprocess.run([sys.executable, "-c", resumed],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    ncalls = int(r.stdout.split("FUSED_CALLS")[1].split()[0])
+    assert ncalls == 2  # 4 stripes of 3 rows; 2 completed pre-kill
+
+    with h5py.File(str(d / "c.nc"), "r") as f:
+        assert "xmhw_resume" not in f.attrs  # completed: watermark gone
+
+    exp = _fused(grid_file, tmp_path)
+    got = {"clim": str(d / "c.nc"), "mhw": str(d / "m.nc"),
+           "block": str(d / "b.nc"), "rank": str(d / "r.nc"),
+           "return": str(d / "r_return.nc")}
+    for part in ("clim", "mhw", "block", "rank", "return"):
+        _assert_files_equal(got[part], exp[part])
+
+
+def test_stream_run_resume_fresh_when_no_watermark(grid_file, tmp_path):
+    """resume=True with no interrupted run behaves as a fresh run."""
+    d = tmp_path / "fresh"
+    d.mkdir()
+    out = stream_run(grid_file, "sst", str(d / "c.nc"), str(d / "m.nc"),
+                     block_path=str(d / "b.nc"),
+                     rank_path=str(d / "r.nc"), stripe=5,
+                     dtype=np.float64, resume=True)
+    exp = _fused(grid_file, tmp_path)
+    for part in ("clim", "mhw", "block", "rank", "return"):
+        _assert_files_equal(out[part], exp[part])
+
+
+def test_stream_run_resume_union_raises(grid_file, tmp_path):
+    with pytest.raises(Exception, match="compact"):
+        stream_run(grid_file, "sst", str(tmp_path / "c.nc"),
+                   str(tmp_path / "m.nc"), events_layout="union",
+                   resume=True)

@@ -21,6 +21,9 @@ identify.py:539-696).
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 
 from .annotate import (MHW_VAR_ATTRS, detect_params_attr,
@@ -175,8 +178,26 @@ class _Writer:
             except TypeError:
                 self.h.attrs[k] = str(v)
 
+    @classmethod
+    def open_append(cls, path):
+        """Reopen an existing output file to resume an interrupted
+        streamed run: scales are discovered from the file; create()
+        returns the existing dataset for names already present."""
+        import h5py
+
+        self = cls.__new__(cls)
+        self.h = h5py.File(path, "r+")
+        self.scales = {}
+        for name, node in self.h.items():
+            if node.attrs.get("CLASS") in (b"DIMENSION_SCALE",
+                                           "DIMENSION_SCALE"):
+                self.scales[name] = node
+        return self
+
     def create(self, name, dims, dtype, attrs=None, fill=np.nan,
                chunks=None, compress=None, grow_dims=()):
+        if name in self.h:  # resumed run: dataset already on disk
+            return self.h[name]
         shape = tuple(self.scales[d].shape[0] for d in dims)
         kw = {}
         if (compress or grow_dims) and not chunks:
@@ -539,7 +560,7 @@ class _StreamTableWriter:
 
     def __init__(self, out_path, g, time_vals, units, cal, global_attrs,
                  rows, row_cells, attrs_of=None, dtype_of=None,
-                 compress=None):
+                 compress=None, reopen=False):
         self.out_path = out_path
         self.g = g
         self.time_vals = time_vals
@@ -551,6 +572,7 @@ class _StreamTableWriter:
         self.attrs_of = attrs_of
         self.dtype_of = dtype_of
         self.compress = compress
+        self.reopen = reopen  # resume: pick up the interrupted file
         self.w = None
         self.vars = {}
         self.E = 0
@@ -570,6 +592,11 @@ class _StreamTableWriter:
     def _ensure(self, tables):
         E = next(iter(tables.values())).shape[0]
         g = self.g
+        if self.w is None and self.reopen and os.path.exists(
+                self.out_path):
+            self.w = _Writer.open_append(self.out_path)
+            self.E = self.w.scales["ev"].shape[0]
+            self.vars = {name: self.w.h[name] for name in tables}
         if self.w is None:
             dim_coords = {"ev": (np.arange(E), {})}
             for d in g.grid_dims:
@@ -595,6 +622,14 @@ class _StreamTableWriter:
             for node in self.vars.values():
                 node.resize(E, axis=0)
             self.E = E
+
+    def open_if_exists(self):
+        """Open the on-disk file without writing (resumed runs whose
+        remaining stripes never produced tables). True if open."""
+        if self.w is None and os.path.exists(self.out_path):
+            self.w = _Writer.open_append(self.out_path)
+            self.E = self.w.scales["ev"].shape[0]
+        return self.w is not None
 
     def write(self, lo, hi, keep, tables):
         """Scatter one stripe's compact (K_b, n_keep) tables into the
@@ -1225,10 +1260,22 @@ def stream_run(
     dtype=np.float32,
     reference_quirks=False,
     compress=None,
+    resume=False,
 ):
     """The SINGLE-PASS planet-scale pipeline: climatology + detection +
     year-block statistics + event ranks, file-to-file, reading and
     uploading every grid stripe exactly ONCE.
+
+    ``resume=True`` picks up an interrupted run (compact layout only):
+    the write-behind slot writes stripes strictly in order and records
+    a progress watermark on the climatology file as the LAST step of
+    each stripe's write job, so a killed run leaves a clean prefix of
+    fully-written stripes. The resumed call skips them (no read, no
+    device step), restores the event-capacity/record-span state, and
+    continues; a completed run clears the watermark, making a stale
+    ``resume=True`` a normal fresh run. The reference has no in-library
+    checkpointing — its documented recovery is rerunning the staged
+    workflow per manual grid block (reference: docs/dask.rst:44-86).
 
     The reference's documented workflow stages threshold -> detect ->
     block_average -> mhw_rank through intermediate NetCDF files
@@ -1309,6 +1356,27 @@ def stream_run(
         rows = stripe or _auto_stripe(T, g.grid_shape)
         row_cells = int(np.prod(g.grid_shape[1:], dtype=np.int64)) or 1
 
+        # ---- resume: pick up an interrupted run's clean prefix ----------
+        # the write-behind slot writes stripes strictly in order, so a
+        # crashed run leaves every stripe below the recorded watermark
+        # fully written; the watermark attr is the LAST thing each
+        # stripe's write job sets
+        resume_state = None
+        if resume:
+            if events_layout == "union":
+                raise XmhwException(
+                    "resume=True requires events_layout='compact' (the "
+                    "union event axis needs every stripe in memory)")
+            if os.path.exists(clim_path):
+                import h5py
+
+                with h5py.File(clim_path, "r") as f:
+                    raw = f.attrs.get("xmhw_resume")
+                    if raw is not None:
+                        resume_state = json.loads(raw)
+        if resume_state is not None:
+            rows = int(resume_state["rows"])  # keep stripe alignment
+
         # ---- incremental writers (clim + block) -------------------------
         u = g.attrs.get("units", "degree_C")
         if isinstance(u, bytes):
@@ -1317,11 +1385,13 @@ def stream_run(
         dimc = {"doy": (np.arange(1, ndoy + 1), {})}
         for d in g.grid_dims:
             dimc[d] = g.coord(d)
-        cw = _Writer(clim_path, dimc, global_attrs={
-            "xmhw_parameters": threshold_params_attr(
-                pctile, clim_y0, clim_y1, windowHalfWidth, skipna,
-                smoothPercentile, smoothPercentileWidth, anynans),
-            "source": "xmhw_tpu stream_run"})
+        cw = (_Writer.open_append(clim_path)
+              if resume_state is not None else
+              _Writer(clim_path, dimc, global_attrs={
+                  "xmhw_parameters": threshold_params_attr(
+                      pctile, clim_y0, clim_y1, windowHalfWidth, skipna,
+                      smoothPercentile, smoothPercentileWidth, anynans),
+                  "source": "xmhw_tpu stream_run"}))
         clim_vars = {
             "thresh": cw.create("thresh", ("doy", *g.grid_dims),
                                 np.dtype(dtype).str,
@@ -1340,8 +1410,11 @@ def stream_run(
                                 "block_length": blockLength})}
             for d in g.grid_dims:
                 bdimc[d] = g.coord(d)
-            bw = _Writer(block_path, bdimc, global_attrs={
-                "source": "xmhw_tpu stream_run block_average"})
+            bw = (_Writer.open_append(block_path)
+                  if resume_state is not None and
+                  os.path.exists(block_path) else
+                  _Writer(block_path, bdimc, global_attrs={
+                      "source": "xmhw_tpu stream_run block_average"}))
             blk_names = [n for n, _, _ in EVENT_AGGS] + [
                 "ts_mean", "ts_max", "ts_min", "moderate_days",
                 "strong_days", "severe_days", "extreme_days",
@@ -1376,13 +1449,15 @@ def stream_run(
             tw = _StreamTableWriter(mhw_path, g, time_vals, units, cal,
                                     mhw_attrs, rows, row_cells,
                                     attrs_of=_attrs_of,
-                                    compress=compress)
+                                    compress=compress,
+                                    reopen=resume_state is not None)
             if rank_path is not None:
                 rw = _StreamTableWriter(
                     rank_path, g, time_vals, units, cal,
                     {"source": "xmhw_tpu stream_run ranks"},
                     rows, row_cells, dtype_of=lambda n, a: "f4",
-                    compress=compress)
+                    compress=compress,
+                    reopen=resume_state is not None)
 
         # ---- phase A: one fused pass per stripe -------------------------
         stripes = []        # (lo, hi, keep_det, tables, labels)
@@ -1390,6 +1465,12 @@ def stream_run(
         kmax = 1
         label_union = []
         smin = emax = None  # event time extremes for nYears
+        done_hi = 0
+        if resume_state is not None:
+            kmax = int(resume_state["kmax"])
+            smin = resume_state["smin"]
+            emax = resume_state["emax"]
+            done_hi = int(resume_state["hi"])
         def _fetch(lo, hi):
             block = g.read(lo, hi).astype(dtype, copy=False)
             # detection drops any-NaN cells under ``anynans``, but the
@@ -1413,6 +1494,28 @@ def stream_run(
 
         edges = [(lo, min(lo + rows, g.grid_shape[0]))
                  for lo in range(0, g.grid_shape[0], rows)]
+        all_edges = list(edges)  # return-file read-back covers every stripe
+        if done_hi:
+            edges = [e for e in edges if e[0] >= done_hi]
+
+        def _progress(hi, kmax, smin, emax):
+            # set LAST in each stripe's write job: stripes at or below
+            # the watermark are guaranteed fully on disk. Data files are
+            # flushed before the watermark advances, so a hard kill
+            # between stripes (the device step is ~90% of each cycle)
+            # leaves a consistent resumable prefix.
+            if compact:
+                for tab in (tw, rw):
+                    if tab is not None and tab.w is not None:
+                        tab.w.h.flush()
+                if bw is not None:
+                    bw.h.flush()
+                cw.h.flush()
+                cw.h.attrs["xmhw_resume"] = json.dumps(
+                    {"hi": int(hi), "rows": int(rows),
+                     "kmax": int(kmax), "smin": smin, "emax": emax})
+                cw.h.flush()
+
         wb = _WriteBehind()
         for lo, hi, fetched in _prefetched(edges, _fetch):
             comp_i, ts_day, keep_all, det_in_all = fetched
@@ -1424,7 +1527,8 @@ def stream_run(
                     if rank_path is not None:
                         rank_stripes.append((lo, hi, keep_det, {}, None))
 
-                def _wempty(lo=lo, hi=hi, c_str=c_str):
+                def _wempty(lo=lo, hi=hi, c_str=c_str, kmax=kmax,
+                            smin=smin, emax=emax):
                     for name, node in clim_vars.items():
                         view = cbuf[:, :c_str]
                         view.fill(np.nan)
@@ -1440,6 +1544,7 @@ def stream_run(
                                 view.fill(np.nan)
                             blk_vars[name][:, lo:hi] = view.reshape(
                                 nbins, hi - lo, *g.grid_shape[1:])
+                    _progress(hi, kmax, smin, emax)
 
                 wb.submit(_wempty)
                 continue
@@ -1503,7 +1608,8 @@ def stream_run(
 
             def _wstripe(lo=lo, hi=hi, c_str=c_str, keep_all=keep_all,
                          keep_det=keep_det, det_in_all=det_in_all,
-                         tables=tables, th=th, se=se, extras=extras):
+                         tables=tables, th=th, se=se, extras=extras,
+                         kmax=kmax, smin=smin, emax=emax):
                 if compact:
                     tw.write(lo, hi, keep_det, tables)
                     if rw is not None:
@@ -1548,6 +1654,7 @@ def stream_run(
                             view[mask] = np.nan
                         blk_vars[name][:, lo:hi] = view.reshape(
                             nbins, hi - lo, *g.grid_shape[1:])
+                _progress(hi, kmax, smin, emax)
 
             wb.submit(_wstripe)
         wb.finish()
@@ -1571,20 +1678,30 @@ def stream_run(
             out["block"] = block_path
 
         if compact:
-            # tables/ranks already on disk (streamed per stripe)
+            # tables/ranks already on disk (streamed per stripe); a
+            # resumed run whose remaining stripes were all land still
+            # has them from the interrupted run
+            if tw.w is None and resume_state is not None:
+                tw.open_if_exists()
             if tw.w is None:
                 raise XmhwException(
                     "All points of grid are either land or NaN")
             tw.close()
             if rw is not None:
+                if rw.w is None and resume_state is not None:
+                    rw.open_if_exists()
                 # nYears is a record-span global, only known now
                 rw.w.h.attrs["nYears"] = nYears
                 rw.close()
                 _write_return_file(
                     return_path, rank_path, rank_names, g, nYears,
-                    edges, compress)
+                    all_edges, compress)
                 out["rank"] = rank_path
                 out["return"] = return_path
+            import h5py
+
+            with h5py.File(clim_path, "r+") as f:
+                f.attrs.pop("xmhw_resume", None)  # run is complete
             return out
 
         union = (np.unique(np.concatenate(label_union))
