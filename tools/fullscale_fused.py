@@ -102,10 +102,14 @@ def main():
     paths = {k: os.path.join(cache, f"fullscale_{k}.nc") for k in keys}
     try:
         t1 = time.perf_counter()
+        # resume=True: a fresh run when no watermark exists; an
+        # interrupted full-scale run (the hour-long case resume exists
+        # for) picks up its clean prefix instead of starting over
         xm.stream_run(src, "sst", paths["clim"], paths["mhw"],
                       block_path=paths["block"],
                       rank_path=paths.get("rank"),
-                      events_layout="compact", stripe=stripe)
+                      events_layout="compact", stripe=stripe,
+                      resume=True)
         t2 = time.perf_counter()
     finally:
         _pl.run_fused = orig

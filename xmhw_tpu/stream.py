@@ -594,9 +594,15 @@ class _StreamTableWriter:
         g = self.g
         if self.w is None and self.reopen and os.path.exists(
                 self.out_path):
-            self.w = _Writer.open_append(self.out_path)
-            self.E = self.w.scales["ev"].shape[0]
-            self.vars = {name: self.w.h[name] for name in tables}
+            w = _Writer.open_append(self.out_path)
+            if "ev" in w.scales and all(n in w.h for n in tables):
+                self.w = w
+                self.E = w.scales["ev"].shape[0]
+                self.vars = {name: w.h[name] for name in tables}
+            else:
+                # the interrupted run died mid-creation, before any
+                # watermarked stripe referenced this file — recreate
+                w.h.close()
         if self.w is None:
             dim_coords = {"ev": (np.arange(E), {})}
             for d in g.grid_dims:
