@@ -359,3 +359,95 @@ def test_stream_run_resume_union_raises(grid_file, tmp_path):
         stream_run(grid_file, "sst", str(tmp_path / "c.nc"),
                    str(tmp_path / "m.nc"), events_layout="union",
                    resume=True)
+
+
+def _kill_and_resume(repo, script_body, resume_call, expect_rc=9):
+    """Run a doomed subprocess (hard exit mid-run), then the resume
+    call in a second subprocess; returns the resume stdout."""
+    import subprocess
+    import sys
+
+    pre = f"""
+import sys, time
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+"""
+    r = subprocess.run([sys.executable, "-c", pre + script_body],
+                       capture_output=True, text=True)
+    assert r.returncode == expect_rc, (r.returncode, r.stderr[-2000:])
+    r = subprocess.run([sys.executable, "-c", pre + resume_call],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+def test_stream_threshold_resume_after_kill(grid_file, tmp_path):
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "c_resumed.nc")
+    doom = f"""
+from xmhw_tpu.core import pipeline as pl
+orig = pl.run_clim
+n = [0]
+def bomb(*a, **k):
+    n[0] += 1
+    if n[0] >= 3:
+        time.sleep(0.5)
+        import os; os._exit(9)
+    return orig(*a, **k)
+pl.run_clim = bomb
+import xmhw_tpu.stream as st
+st.run_clim = bomb
+st.stream_threshold({grid_file!r}, "sst", {out!r}, stripe=3,
+                    dtype=np.float64)
+"""
+    resume = f"""
+import xmhw_tpu.stream as st
+st.stream_threshold({grid_file!r}, "sst", {out!r}, stripe=3,
+                    dtype=np.float64, resume=True)
+print("RESUMED_OK")
+"""
+    assert "RESUMED_OK" in _kill_and_resume(repo, doom, resume)
+    exp = str(tmp_path / "c_exp.nc")
+    stream_threshold(grid_file, "sst", exp, stripe=3, dtype=np.float64)
+    _assert_files_equal(out, exp)
+
+
+def test_stream_detect_resume_after_kill(grid_file, tmp_path):
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    clim = str(tmp_path / "c.nc")
+    stream_threshold(grid_file, "sst", clim, stripe=3, dtype=np.float64)
+    out = str(tmp_path / "m_resumed.nc")
+    doom = f"""
+from xmhw_tpu.core import pipeline as pl
+orig = pl.run_detect
+n = [0]
+def bomb(*a, **k):
+    n[0] += 1
+    if n[0] >= 3:
+        time.sleep(0.5)
+        import os; os._exit(9)
+    return orig(*a, **k)
+pl.run_detect = bomb
+import xmhw_tpu.stream as st
+st.run_detect = bomb
+st.stream_detect({grid_file!r}, "sst", {clim!r}, {out!r}, stripe=3,
+                 dtype=np.float64)
+"""
+    resume = f"""
+import xmhw_tpu.stream as st
+st.stream_detect({grid_file!r}, "sst", {clim!r}, {out!r}, stripe=3,
+                 dtype=np.float64, resume=True)
+print("RESUMED_OK")
+"""
+    assert "RESUMED_OK" in _kill_and_resume(repo, doom, resume)
+    exp = str(tmp_path / "m_exp.nc")
+    stream_detect(grid_file, "sst", clim, exp, stripe=3,
+                  dtype=np.float64)
+    _assert_files_equal(out, exp)

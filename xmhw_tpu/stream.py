@@ -130,6 +130,28 @@ class GridReader:
         self.close()
 
 
+def _load_resume(path):
+    """Watermark of an interrupted streamed run at ``path``, or None."""
+    if not os.path.exists(path):
+        return None
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        raw = f.attrs.get("xmhw_resume")
+    return json.loads(raw) if raw is not None else None
+
+
+def _mark_resume(w, hi, rows, **extra):
+    """Advance the per-stripe watermark — the LAST step of a stripe's
+    write-behind job. Data is flushed before the watermark and the
+    watermark after itself, so a hard kill between stripes leaves a
+    consistent resumable prefix."""
+    w.h.flush()
+    w.h.attrs["xmhw_resume"] = json.dumps(
+        {"hi": int(hi), "rows": int(rows), **extra})
+    w.h.flush()
+
+
 def _auto_stripe(T, grid_shape, itemsize=4, budget=2 ** 28):
     """Grid rows per stripe so one (T, stripe) read is ~256 MB."""
     row_cells = int(np.prod(grid_shape[1:], dtype=np.int64)) or 1
@@ -361,6 +383,7 @@ def stream_threshold(
     cell_block=None,
     mesh=None,
     compress=None,
+    resume=False,
 ):
     """threshold() streamed file-to-file; host memory O(time x stripe).
 
@@ -368,12 +391,17 @@ def stream_threshold(
     reference's documented staging encodes outputs with zlib
     (docs/gettingstarted.rst:64).
 
+    ``resume=True`` picks up an interrupted run from its per-stripe
+    watermark (see :func:`stream_run`); with no watermark it is a
+    normal fresh run.
+
     Same semantics as :func:`xmhw_tpu.threshold` (reference:
     xmhw/xmhw.py:38-247); returns the output path.
     """
     tune_malloc()
     if smoothPercentileWidth % 2 == 0:
         raise XmhwException("smoothPercentileWidth should be odd")
+    resume_state = _load_resume(out_path) if resume else None
     with GridReader(in_path, var, lead_dim=tdim) as g:
         tindex, _ = g.coord(tdim)
         if not isinstance(tindex, TimeIndex):
@@ -391,15 +419,20 @@ def stream_threshold(
         T = len(doy)
 
         rows = stripe or _auto_stripe(T, g.grid_shape)
+        if resume_state is not None:
+            rows = int(resume_state["rows"])
         dim_coords = {"doy": (np.arange(1, ndoy + 1), {})}
         for d in g.grid_dims:
             dim_coords[d] = g.coord(d)
-        w = _Writer(out_path, dim_coords, global_attrs={
-            "xmhw_parameters": threshold_params_attr(
-                pctile, tindex.year[0], tindex.year[-1], windowHalfWidth,
-                skipna, smoothPercentile, smoothPercentileWidth, anynans),
-            "source": "xmhw_tpu stream_threshold",
-        })
+        w = (_Writer.open_append(out_path)
+             if resume_state is not None else
+             _Writer(out_path, dim_coords, global_attrs={
+                 "xmhw_parameters": threshold_params_attr(
+                     pctile, tindex.year[0], tindex.year[-1],
+                     windowHalfWidth, skipna, smoothPercentile,
+                     smoothPercentileWidth, anynans),
+                 "source": "xmhw_tpu stream_threshold",
+             }))
         units = g.attrs.get("units", "degree_C")
         if isinstance(units, bytes):
             units = units.decode("utf-8", "replace")
@@ -431,6 +464,9 @@ def stream_threshold(
 
         edges = [(lo, min(lo + rows, g.grid_shape[0]))
                  for lo in range(0, g.grid_shape[0], rows)]
+        if resume_state is not None:
+            edges = [e for e in edges
+                     if e[0] >= int(resume_state["hi"])]
         wb = _WriteBehind()
         for lo, hi, (comp, keep) in _prefetched(edges, _fetch):
             c_str = (hi - lo) * row_cells
@@ -450,9 +486,11 @@ def stream_threshold(
                         view[:, keep] = vals
                     out_vars[name][:, lo:hi] = view.reshape(
                         ndoy, hi - lo, *g.grid_shape[1:])
+                _mark_resume(w, hi, rows)
 
             wb.submit(_write)
         wb.finish()
+        w.h.attrs.pop("xmhw_resume", None)  # run is complete
         w.close()
     return out_path
 
@@ -688,6 +726,7 @@ def stream_detect(
     seas_var="seas",
     inter_path=None,
     reference_quirks=False,
+    resume=False,
     compress=None,
 ):
     """detect() streamed file-to-file.
@@ -720,6 +759,10 @@ def stream_detect(
     during the detect pass; returns ``(out_path, inter_path)``. Boolean
     per-day variables are stored as int8 (land cells 0); float variables
     carry NaN on land like the in-memory API.
+
+    ``resume=True`` picks up an interrupted run from the per-stripe
+    watermark on the output file (compact layout only; see
+    :func:`stream_run`); with no watermark it is a normal fresh run.
     """
     tune_malloc()
     if maxGap >= minDuration:
@@ -730,6 +773,13 @@ def stream_detect(
         inter_path = (out_path[:-3] + "_inter.nc"
                       if out_path.endswith(".nc")
                       else out_path + "_inter.nc")
+    resume_state = None
+    if resume:
+        if events_layout == "union":
+            raise XmhwException(
+                "resume=True requires events_layout='compact' (the "
+                "union event axis needs every stripe in memory)")
+        resume_state = _load_resume(out_path)
     with GridReader(ts_path, var, lead_dim=tdim) as g, \
             GridReader(clim_path, thresh_var, lead_dim="doy") as gth, \
             GridReader(clim_path, seas_var, lead_dim="doy") as gse:
@@ -753,6 +803,8 @@ def stream_detect(
 
         T = len(doy)
         rows = stripe or _auto_stripe(T, g.grid_shape)
+        if resume_state is not None:
+            rows = int(resume_state["rows"])
         row_cells = int(np.prod(g.grid_shape[1:], dtype=np.int64)) or 1
 
         u = g.attrs.get("units", "degree_C")
@@ -776,7 +828,8 @@ def stream_detect(
         compact = events_layout != "union"
         tw = (_StreamTableWriter(out_path, g, time_vals, units, cal,
                                  out_attrs, rows, row_cells,
-                                 attrs_of=_attrs_of, compress=compress)
+                                 attrs_of=_attrs_of, compress=compress,
+                                 reopen=resume_state is not None)
               if compact else None)
 
         # ---- phase A: detect per stripe; compact tables stream to disk,
@@ -786,6 +839,12 @@ def stream_detect(
         label_union = []
         iw = None  # lazy intermediate writer (phase-A streamed)
         inter_vars = {}
+        if resume_state is not None:
+            kmax = int(resume_state.get("kmax", 1))
+            if intermediate and os.path.exists(inter_path):
+                iw = _Writer.open_append(inter_path)
+                inter_vars = {n: iw.h[n] for n in iw.h
+                              if n not in iw.scales}
         def _fetch(lo, hi):
             block = g.read(lo, hi).astype(dtype, copy=False)
             comp, keep = _compact_ocean(block, anynans)
@@ -803,6 +862,9 @@ def stream_detect(
 
         edges = [(lo, min(lo + rows, g.grid_shape[0]))
                  for lo in range(0, g.grid_shape[0], rows)]
+        if resume_state is not None:
+            edges = [e for e in edges
+                     if e[0] >= int(resume_state["hi"])]
         wb = _WriteBehind()
         for lo, hi, (comp, keep, th, se) in _prefetched(edges, _fetch):
             if keep.size == 0:
@@ -833,21 +895,27 @@ def stream_detect(
                 stripes.append((lo, hi, keep, tables))
 
             def _write(lo=lo, hi=hi, keep=keep, tables=tables,
-                       inter=inter):
+                       inter=inter, kmax=kmax):
                 if intermediate:
                     _write_inter_stripe(inter_vars, inter, lo, hi,
                                         keep, g, row_cells, T)
                 if compact:
                     tw.write(lo, hi, keep, tables)
+                    if iw is not None:
+                        iw.h.flush()
+                    _mark_resume(tw.w, hi, rows, kmax=int(kmax))
 
             wb.submit(_write)
         wb.finish()
 
         # ---- phase B: close (compact) / union scatter-write -------------
         if compact:
+            if tw.w is None and resume_state is not None:
+                tw.open_if_exists()
             if tw.w is None:
                 raise XmhwException(
                     "All points of grid are either land or NaN")
+            tw.w.h.attrs.pop("xmhw_resume", None)  # run is complete
             tw.close()
         else:
             union = (np.unique(np.concatenate(label_union))
@@ -1373,13 +1441,7 @@ def stream_run(
                 raise XmhwException(
                     "resume=True requires events_layout='compact' (the "
                     "union event axis needs every stripe in memory)")
-            if os.path.exists(clim_path):
-                import h5py
-
-                with h5py.File(clim_path, "r") as f:
-                    raw = f.attrs.get("xmhw_resume")
-                    if raw is not None:
-                        resume_state = json.loads(raw)
+            resume_state = _load_resume(clim_path)
         if resume_state is not None:
             rows = int(resume_state["rows"])  # keep stripe alignment
 
@@ -1506,21 +1568,17 @@ def stream_run(
 
         def _progress(hi, kmax, smin, emax):
             # set LAST in each stripe's write job: stripes at or below
-            # the watermark are guaranteed fully on disk. Data files are
-            # flushed before the watermark advances, so a hard kill
-            # between stripes (the device step is ~90% of each cycle)
-            # leaves a consistent resumable prefix.
+            # the watermark are guaranteed fully on disk (the device
+            # step is ~90% of each cycle, so a kill rarely lands inside
+            # an HDF5 update)
             if compact:
                 for tab in (tw, rw):
                     if tab is not None and tab.w is not None:
                         tab.w.h.flush()
                 if bw is not None:
                     bw.h.flush()
-                cw.h.flush()
-                cw.h.attrs["xmhw_resume"] = json.dumps(
-                    {"hi": int(hi), "rows": int(rows),
-                     "kmax": int(kmax), "smin": smin, "emax": emax})
-                cw.h.flush()
+                _mark_resume(cw, hi, rows, kmax=int(kmax),
+                             smin=smin, emax=emax)
 
         wb = _WriteBehind()
         for lo, hi, fetched in _prefetched(edges, _fetch):
