@@ -451,3 +451,76 @@ print("RESUMED_OK")
     stream_detect(grid_file, "sst", clim, exp, stripe=3,
                   dtype=np.float64)
     _assert_files_equal(out, exp)
+
+
+def test_stream_block_average_resume_after_kill(grid_file, tmp_path):
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    clim = str(tmp_path / "c.nc")
+    mhw = str(tmp_path / "m.nc")
+    stream_threshold(grid_file, "sst", clim, stripe=3, dtype=np.float64)
+    stream_detect(grid_file, "sst", clim, mhw, stripe=3,
+                  dtype=np.float64)
+    out = str(tmp_path / "b_resumed.nc")
+    doom = f"""
+from xmhw_tpu.core import stats as cs
+orig = cs.binned_event_stats
+n = [0]
+def bomb(*a, **k):
+    n[0] += 1
+    if n[0] >= 3:
+        time.sleep(0.5)
+        import os; os._exit(9)
+    return orig(*a, **k)
+cs.binned_event_stats = bomb
+import xmhw_tpu.stream as st
+st.stream_block_average({mhw!r}, {out!r}, dstime_path={grid_file!r},
+                        dstime_var="sst", clim_path={clim!r}, stripe=3)
+"""
+    resume = f"""
+import xmhw_tpu.stream as st
+st.stream_block_average({mhw!r}, {out!r}, dstime_path={grid_file!r},
+                        dstime_var="sst", clim_path={clim!r}, stripe=3,
+                        resume=True)
+print("RESUMED_OK")
+"""
+    assert "RESUMED_OK" in _kill_and_resume(repo, doom, resume)
+    exp = str(tmp_path / "b_exp.nc")
+    stream_block_average(mhw, exp, dstime_path=grid_file,
+                         dstime_var="sst", clim_path=clim, stripe=3)
+    _assert_files_equal(out, exp)
+
+
+def test_stream_rank_resume_after_kill(grid_file, tmp_path):
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    clim = str(tmp_path / "c.nc")
+    mhw = str(tmp_path / "m.nc")
+    stream_threshold(grid_file, "sst", clim, stripe=3, dtype=np.float64)
+    stream_detect(grid_file, "sst", clim, mhw, stripe=3,
+                  dtype=np.float64)
+    out = str(tmp_path / "r_resumed.nc")
+    doom = f"""
+import xmhw_tpu.stream as st
+orig = st._prefetched
+def bomb(pairs, fetch):
+    for i, item in enumerate(orig(pairs, fetch)):
+        if i >= 2:
+            time.sleep(0.5)   # let the pending write-behind job settle
+            import os
+            os._exit(9)
+        yield item
+st._prefetched = bomb
+st.stream_rank({mhw!r}, {out!r}, stripe=2)
+"""
+    resume = f"""
+import xmhw_tpu.stream as st
+st.stream_rank({mhw!r}, {out!r}, stripe=2, resume=True)
+print("RESUMED_OK")
+"""
+    assert "RESUMED_OK" in _kill_and_resume(repo, doom, resume)
+    rp, pp = stream_rank(mhw, str(tmp_path / "r_exp.nc"), stripe=2)
+    _assert_files_equal(out, rp)
+    _assert_files_equal(out[:-3] + "_return.nc", pp)

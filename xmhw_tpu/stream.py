@@ -955,6 +955,7 @@ def stream_block_average(
     thresh_var="thresh",
     seas_var="seas",
     compress=None,
+    resume=False,
 ):
     """block_average() streamed file-to-file — the stats stage of the
     planet-scale pipeline (reference workflow: docs/gettingstarted.rst:
@@ -968,6 +969,8 @@ def stream_block_average(
     stats.py:225-231). Both halves run on device per stripe: event
     aggregations via core/stats.binned_event_stats, per-day stats via
     core/stats.binned_day_stats. Host memory stays O(stripe).
+    ``resume=True`` picks up an interrupted run from the per-stripe
+    watermark on the output file (see :func:`stream_run`).
     Returns the output path.
     """
     import jax.numpy as jnp
@@ -976,6 +979,7 @@ def stream_block_average(
                              binned_event_stats, day_block_edges)
 
     tune_malloc()
+    resume_state = _load_resume(out_path) if resume else None
     with GridReader(mhw_path, "time_start") as gm:
         ev_dim = gm.dims[0]
         tattrs = {k: (v.decode() if isinstance(v, bytes) else v)
@@ -1028,6 +1032,8 @@ def stream_block_average(
             K = gm.v.shape[0]
             T = gts.v.shape[0] if gts is not None else 0
             rows = stripe or _auto_stripe(max(T, K * 16), gm.grid_shape)
+            if resume_state is not None:
+                rows = int(resume_state["rows"])
             row_cells = int(np.prod(gm.grid_shape[1:],
                                     dtype=np.int64)) or 1
 
@@ -1036,8 +1042,10 @@ def stream_block_average(
                                      "block_length": blockLength})}
             for d in gm.grid_dims:
                 dim_coords[d] = gm.coord(d)
-            w = _Writer(out_path, dim_coords, global_attrs={
-                "source": "xmhw_tpu stream_block_average"})
+            w = (_Writer.open_append(out_path)
+                 if resume_state is not None else
+                 _Writer(out_path, dim_coords, global_attrs={
+                     "source": "xmhw_tpu stream_block_average"}))
             evr = {v: GridReader(mhw_path, v) for v in EVENT_VARS}
             out_names = [n for n, _, _ in EVENT_AGGS]
             if gts is not None:
@@ -1077,6 +1085,9 @@ def stream_block_average(
 
             bedges = [(lo, min(lo + rows, gm.grid_shape[0]))
                       for lo in range(0, gm.grid_shape[0], rows)]
+            if resume_state is not None:
+                bedges = [e for e in bedges
+                          if e[0] >= int(resume_state["hi"])]
             wb = _WriteBehind()
             for lo, hi, fetched in _prefetched(bedges, _fetch):
                 t0, vals, comp2, keep2, th_p, se_p = fetched
@@ -1134,11 +1145,13 @@ def stream_block_average(
                         view[...] = res[name]
                         out_vars[name][:, lo:hi] = view.reshape(
                             nbins, hi - lo, *gm.grid_shape[1:])
+                    _mark_resume(w, hi, rows)
 
                 wb.submit(_write)
             wb.finish()
             for r in evr.values():
                 r.close()
+            w.h.attrs.pop("xmhw_resume", None)  # run is complete
             w.close()
         finally:
             for r in (gts, gth, gse):
@@ -1207,6 +1220,7 @@ def stream_rank(
     nYears=None,
     stripe=None,
     compress=None,
+    resume=False,
 ):
     """mhw_rank() streamed file-to-file (reference: stats.py:446-490).
 
@@ -1230,6 +1244,7 @@ def stream_rank(
         return_path = (rank_path[:-3] + "_return.nc"
                        if rank_path.endswith(".nc")
                        else rank_path + "_return.nc")
+    resume_state = _load_resume(rank_path) if resume else None
     with h5py.File(mhw_path, "r") as f:
         gm = GridReader(mhw_path, "time_start")
         ev_dim = gm.dims[0]
@@ -1253,12 +1268,18 @@ def stream_rank(
         # stripe sized for the STACKED (V, K, cells) device block
         rows = stripe or _auto_stripe(
             max(K * len(variables), 1), gm.grid_shape, budget=2 ** 29)
+        if resume_state is not None:
+            rows = int(resume_state["rows"])
         row_cells = int(np.prod(gm.grid_shape[1:], dtype=np.int64)) or 1
-        wr = _Writer(rank_path, dim_coords, global_attrs={
-            "source": "xmhw_tpu stream_rank", "nYears": nYears})
-        wp = _Writer(return_path, dim_coords, global_attrs={
-            "source": "xmhw_tpu stream_rank return periods",
-            "nYears": nYears})
+        if resume_state is not None:
+            wr = _Writer.open_append(rank_path)
+            wp = _Writer.open_append(return_path)
+        else:
+            wr = _Writer(rank_path, dim_coords, global_attrs={
+                "source": "xmhw_tpu stream_rank", "nYears": nYears})
+            wp = _Writer(return_path, dim_coords, global_attrs={
+                "source": "xmhw_tpu stream_rank return periods",
+                "nYears": nYears})
         # f4 storage: ranks are small integers and return periods small
         # ratios — exactly/adequately representable, half the file size
         # (the in-memory API returns float64; files are the streamed
@@ -1283,6 +1304,9 @@ def stream_rank(
 
         redges = [(lo, min(lo + rows, gm.grid_shape[0]))
                   for lo in range(0, gm.grid_shape[0], rows)]
+        if resume_state is not None:
+            redges = [e for e in redges
+                      if e[0] >= int(resume_state["hi"])]
         wb = _WriteBehind()
         for lo, hi, blk in _prefetched(redges, _fetch):
             r_all = np.asarray(rank_b(jnp.asarray(blk)))
@@ -1294,9 +1318,12 @@ def stream_rank(
                     rvars[v][:, lo:hi] = r.reshape(shape)
                     pvars[v][:, lo:hi] = (
                         (nYears + 1) / r).reshape(shape)
+                wp.h.flush()
+                _mark_resume(wr, hi, rows)
 
             wb.submit(_write)
         wb.finish()
+        wr.h.attrs.pop("xmhw_resume", None)  # run is complete
         wr.close()
         wp.close()
         gm.close()
