@@ -38,6 +38,7 @@ def _grid(seed, T_years=3, nlat=2, nlon=2, nan_frac=0.0, land=False):
     (0, 0.0, False),
     (1, 0.02, False),
     (2, 0.0, True),
+    (5, 0.10, True),
 ])
 def test_threshold_vs_oracle(seed, nan_frac, land):
     da = _grid(seed, nan_frac=nan_frac, land=land)
@@ -61,14 +62,19 @@ def test_threshold_vs_oracle(seed, nan_frac, land):
                                        equal_nan=True)
 
 
-@pytest.mark.parametrize("seed,md,mg,join,nan_frac", [
-    (0, 5, 2, True, 0.0),
-    (1, 5, 3, True, 0.02),
-    (2, 3, 2, True, 0.0),
-    (3, 5, 2, False, 0.0),
-    (4, 7, 4, True, 0.05),
+@pytest.mark.parametrize("seed,md,mg,join,nan_frac,min_ev", [
+    (0, 5, 2, True, 0.0, 10),
+    (1, 5, 3, True, 0.02, 10),
+    (2, 3, 2, True, 0.0, 10),
+    (3, 5, 2, False, 0.0, 10),
+    (4, 7, 4, True, 0.05, 10),
+    # long-duration + heavy NaN: few events survive, but every one of
+    # their 30 properties must still match the oracle
+    (5, 8, 4, True, 0.10, 3),
+    (6, 5, 0, True, 0.0, 10),
+    (7, 2, 1, True, 0.0, 10),
 ])
-def test_detect_vs_oracle(seed, md, mg, join, nan_frac):
+def test_detect_vs_oracle(seed, md, mg, join, nan_frac, min_ev):
     da = _grid(seed, T_years=4, nan_frac=nan_frac)
     clim = xm.threshold(da, dtype=np.float64)
     mhw = xm.detect(da, clim["thresh"], clim["seas"], minDuration=md,
@@ -108,7 +114,7 @@ def test_detect_vs_oracle(seed, md, mg, join, nan_frac):
                         got, want, rtol=1e-8, atol=1e-8, equal_nan=True,
                         err_msg=f"{prop} cell=({la},{lo}) ev={j} "
                                 f"seed={seed}")
-    assert checked_events > 10  # the configs must actually produce events
+    assert checked_events >= min_ev  # configs must actually produce events
 
 
 def test_block_average_vs_oracle(oisst_ts):
