@@ -343,7 +343,7 @@ def bench_global_streamed():
     feasible on disk, but H2D through the axon tunnel dominates)."""
     import xmhw_tpu as xm
 
-    _reset_peak_rss()  # this config runs last; measure its own peak
+    rss_own = _reset_peak_rss()  # runs last; measure its own peak
 
     spec = os.environ.get("XMHW_BENCH_GLOBAL",
                           "24x48x3" if FAST else "360x480x40")
@@ -416,7 +416,7 @@ def bench_global_streamed():
     fus_t = {"s": 0.0}
     orig_fused = _pl.run_fused
     _pl.run_fused = _timed(orig_fused, fus_t)
-    _reset_peak_rss()  # report the fused pass's own host peak
+    rss_own &= _reset_peak_rss()  # the fused pass's own host peak
     f_clim = os.path.join(cache, "f_clim.nc")
     f_mhw = os.path.join(cache, "f_mhw.nc")
     f_blk = os.path.join(cache, "f_block.nc")
@@ -466,6 +466,11 @@ def bench_global_streamed():
         "device_step_s": round(dev_t["s"], 1),
         "device_step_share": round(dev_t["s"] / wall, 3),
         "peak_host_rss_gb": round(rss_gb, 2),
+        # VmHWM reset failed (masked /proc): values are process-max,
+        # inflated by the five configs that ran before this one
+        **({} if rss_own else
+           {"peak_host_rss_note": "process-max (VmHWM reset "
+                                  "unavailable)"}),
         "fused_single_pass": {
             "wall_s": round(fwall, 1),
             "cells_per_sec_full_pipeline": round(ocean / fwall, 1),

@@ -524,3 +524,32 @@ print("RESUMED_OK")
     rp, pp = stream_rank(mhw, str(tmp_path / "r_exp.nc"), stripe=2)
     _assert_files_equal(out, rp)
     _assert_files_equal(out[:-3] + "_return.nc", pp)
+
+
+def test_resume_param_mismatch_raises(grid_file, tmp_path):
+    """A watermark from a run with different parameters must refuse to
+    resume rather than silently mix parameterizations in one file."""
+    import json
+
+    import h5py
+
+    out = str(tmp_path / "c.nc")
+    with h5py.File(out, "w") as f:
+        f.attrs["xmhw_resume"] = json.dumps(
+            {"hi": 3, "rows": 3, "sig": "some-other-parameters"})
+    with pytest.raises(Exception, match="parameters differ"):
+        stream_threshold(grid_file, "sst", out, stripe=3,
+                         dtype=np.float64, resume=True)
+
+
+def test_resume_corrupt_file_falls_back_fresh(grid_file, tmp_path):
+    """A file the crashed run left invalid (died before any watermarked
+    stripe) must read as no-watermark -> normal fresh run."""
+    out = str(tmp_path / "c.nc")
+    with open(out, "wb") as f:
+        f.write(b"definitely not an hdf5 file")
+    stream_threshold(grid_file, "sst", out, stripe=3, dtype=np.float64,
+                     resume=True)
+    exp = str(tmp_path / "c_exp.nc")
+    stream_threshold(grid_file, "sst", exp, stripe=3, dtype=np.float64)
+    _assert_files_equal(out, exp)

@@ -130,26 +130,68 @@ class GridReader:
         self.close()
 
 
-def _load_resume(path):
-    """Watermark of an interrupted streamed run at ``path``, or None."""
+def _resume_sig(**params):
+    """Canonical fingerprint of the parameters that shape a streamed
+    run's outputs. Stored in the watermark and validated on resume, so
+    a resumed call cannot silently mix two parameterizations in one
+    output file."""
+    return json.dumps({k: (list(v) if isinstance(v, tuple) else v)
+                       for k, v in sorted(params.items())},
+                      default=str)
+
+
+def _load_resume(path, sig=None):
+    """Watermark of an interrupted streamed run at ``path``, or None.
+
+    A file the crashed run left truncated/invalid (it died before any
+    watermarked stripe) reads as no-watermark — the resumed call is
+    then a normal fresh run. A watermark whose parameter fingerprint
+    differs from the resuming call's raises instead of mixing outputs.
+    """
     if not os.path.exists(path):
         return None
     import h5py
 
-    with h5py.File(path, "r") as f:
-        raw = f.attrs.get("xmhw_resume")
-    return json.loads(raw) if raw is not None else None
+    try:
+        with h5py.File(path, "r") as f:
+            raw = f.attrs.get("xmhw_resume")
+        state = json.loads(raw) if raw is not None else None
+    except Exception:  # unreadable/torn file from an early crash
+        return None
+    if state is not None and sig is not None \
+            and state.get("sig") != sig:
+        raise XmhwException(
+            "resume=True but the parameters differ from the "
+            "interrupted run's — rerun with the original parameters, "
+            "or without resume to start fresh")
+    return state
+
+
+def _filter_resumed(edges, state):
+    """Drop the stripes a resumed run has already completed."""
+    if state is None:
+        return edges
+    return [e for e in edges if e[0] >= int(state["hi"])]
 
 
 def _mark_resume(w, hi, rows, **extra):
     """Advance the per-stripe watermark — the LAST step of a stripe's
     write-behind job. Data is flushed before the watermark and the
-    watermark after itself, so a hard kill between stripes leaves a
-    consistent resumable prefix."""
+    watermark after itself, so a process kill between stripes leaves a
+    consistent resumable prefix. flush() reaches the OS page cache,
+    not the platter: against power loss / host crashes set
+    XMHW_STREAM_DURABLE=1, which adds an os.sync() barrier on either
+    side of the watermark (slower; unnecessary for OOM kills and
+    preemptions, where the page cache survives)."""
+    durable = bool(os.environ.get("XMHW_STREAM_DURABLE"))
     w.h.flush()
+    if durable:
+        os.sync()
     w.h.attrs["xmhw_resume"] = json.dumps(
         {"hi": int(hi), "rows": int(rows), **extra})
     w.h.flush()
+    if durable:
+        os.sync()
 
 
 def _auto_stripe(T, grid_shape, itemsize=4, budget=2 ** 28):
@@ -401,7 +443,17 @@ def stream_threshold(
     tune_malloc()
     if smoothPercentileWidth % 2 == 0:
         raise XmhwException("smoothPercentileWidth should be odd")
-    resume_state = _load_resume(out_path) if resume else None
+    resume_sig = _resume_sig(
+        fn="stream_threshold", var=var,
+        climatologyPeriod=list(climatologyPeriod), pctile=pctile,
+        windowHalfWidth=windowHalfWidth,
+        smoothPercentile=smoothPercentile,
+        smoothPercentileWidth=smoothPercentileWidth,
+        maxPadLength=maxPadLength, coldSpells=coldSpells, tstep=tstep,
+        anynans=anynans, skipna=skipna, dtype=np.dtype(dtype).str,
+        compress=compress)
+    resume_state = (_load_resume(out_path, resume_sig)
+                    if resume else None)
     with GridReader(in_path, var, lead_dim=tdim) as g:
         tindex, _ = g.coord(tdim)
         if not isinstance(tindex, TimeIndex):
@@ -464,9 +516,7 @@ def stream_threshold(
 
         edges = [(lo, min(lo + rows, g.grid_shape[0]))
                  for lo in range(0, g.grid_shape[0], rows)]
-        if resume_state is not None:
-            edges = [e for e in edges
-                     if e[0] >= int(resume_state["hi"])]
+        edges = _filter_resumed(edges, resume_state)
         wb = _WriteBehind()
         for lo, hi, (comp, keep) in _prefetched(edges, _fetch):
             c_str = (hi - lo) * row_cells
@@ -486,7 +536,7 @@ def stream_threshold(
                         view[:, keep] = vals
                     out_vars[name][:, lo:hi] = view.reshape(
                         ndoy, hi - lo, *g.grid_shape[1:])
-                _mark_resume(w, hi, rows)
+                _mark_resume(w, hi, rows, sig=resume_sig)
 
             wb.submit(_write)
         wb.finish()
@@ -502,6 +552,21 @@ def _encode_times(idx, time_vals, units, cal):
     raw, _, _ = encode_cf_time(t, units)
     raw = np.asarray(raw, np.float64).reshape(idx.shape)
     return np.where(idx >= 0, raw, np.nan)
+
+
+def _scatter_buf(bufs, dt, nrows, ncols):
+    """Pooled NaN-fill scatter buffer, keyed by (float-coerced) dtype
+    and grown when nrows exceeds the cached buffer's rows. Shared by
+    the phase-B union writer and the streaming compact writer so the
+    dtype/fill rules live in one place."""
+    dt = np.dtype(dt)
+    if dt.kind != "f":
+        dt = np.dtype(np.float64)
+    b = bufs.get(dt)
+    if b is None or b.shape[0] < nrows:
+        b = alloc_filled((max(nrows, 1), ncols), np.nan, dt)
+        bufs[dt] = b
+    return b
 
 
 def _write_table_file(out_path, stripes, names, g, ev_dim, ev_vals,
@@ -541,14 +606,7 @@ def _write_table_file(out_path, stripes, names, g, ev_dim, ev_vals,
     bufs = {}
 
     def _buf(dt):
-        dt = np.dtype(dt)
-        if dt.kind != "f":
-            dt = np.dtype(np.float64)
-        b = bufs.get(dt)
-        if b is None:
-            b = alloc_filled((max(E, 1), rows * row_cells), np.nan, dt)
-            bufs[dt] = b
-        return b
+        return _scatter_buf(bufs, dt, E, rows * row_cells)
 
     for lo, hi, keep, tables, labels in stripes:
         c_str = (hi - lo) * row_cells
@@ -617,15 +675,8 @@ class _StreamTableWriter:
         self._bufs = {}
 
     def _buf(self, dt):
-        dt = np.dtype(dt)
-        if dt.kind != "f":
-            dt = np.dtype(np.float64)
-        b = self._bufs.get(dt)
-        if b is None or b.shape[0] < self.E:
-            b = alloc_filled((max(self.E, 1),
-                              self.rows * self.row_cells), np.nan, dt)
-            self._bufs[dt] = b
-        return b
+        return _scatter_buf(self._bufs, dt, self.E,
+                            self.rows * self.row_cells)
 
     def _ensure(self, tables):
         E = next(iter(tables.values())).shape[0]
@@ -773,13 +824,21 @@ def stream_detect(
         inter_path = (out_path[:-3] + "_inter.nc"
                       if out_path.endswith(".nc")
                       else out_path + "_inter.nc")
+    resume_sig = _resume_sig(
+        fn="stream_detect", var=var, clim_path=clim_path,
+        minDuration=minDuration, joinGaps=joinGaps, maxGap=maxGap,
+        maxPadLength=maxPadLength, coldSpells=coldSpells,
+        intermediate=intermediate, anynans=anynans, tstep=tstep,
+        dtype=np.dtype(dtype).str, events_layout=events_layout,
+        thresh_var=thresh_var, seas_var=seas_var,
+        reference_quirks=reference_quirks, compress=compress)
     resume_state = None
     if resume:
         if events_layout == "union":
             raise XmhwException(
                 "resume=True requires events_layout='compact' (the "
                 "union event axis needs every stripe in memory)")
-        resume_state = _load_resume(out_path)
+        resume_state = _load_resume(out_path, resume_sig)
     with GridReader(ts_path, var, lead_dim=tdim) as g, \
             GridReader(clim_path, thresh_var, lead_dim="doy") as gth, \
             GridReader(clim_path, seas_var, lead_dim="doy") as gse:
@@ -862,9 +921,7 @@ def stream_detect(
 
         edges = [(lo, min(lo + rows, g.grid_shape[0]))
                  for lo in range(0, g.grid_shape[0], rows)]
-        if resume_state is not None:
-            edges = [e for e in edges
-                     if e[0] >= int(resume_state["hi"])]
+        edges = _filter_resumed(edges, resume_state)
         wb = _WriteBehind()
         for lo, hi, (comp, keep, th, se) in _prefetched(edges, _fetch):
             if keep.size == 0:
@@ -903,7 +960,8 @@ def stream_detect(
                     tw.write(lo, hi, keep, tables)
                     if iw is not None:
                         iw.h.flush()
-                    _mark_resume(tw.w, hi, rows, kmax=int(kmax))
+                    _mark_resume(tw.w, hi, rows, kmax=int(kmax),
+                                 sig=resume_sig)
 
             wb.submit(_write)
         wb.finish()
@@ -979,7 +1037,15 @@ def stream_block_average(
                              binned_event_stats, day_block_edges)
 
     tune_malloc()
-    resume_state = _load_resume(out_path) if resume else None
+    resume_sig = _resume_sig(
+        fn="stream_block_average", mhw_path=mhw_path,
+        dstime_path=dstime_path, dstime_var=dstime_var,
+        clim_path=clim_path, period=list(period) if period else None,
+        blockLength=blockLength, mtime=mtime,
+        removeMissing=removeMissing, thresh_var=thresh_var,
+        seas_var=seas_var, compress=compress)
+    resume_state = (_load_resume(out_path, resume_sig)
+                    if resume else None)
     with GridReader(mhw_path, "time_start") as gm:
         ev_dim = gm.dims[0]
         tattrs = {k: (v.decode() if isinstance(v, bytes) else v)
@@ -1085,9 +1151,7 @@ def stream_block_average(
 
             bedges = [(lo, min(lo + rows, gm.grid_shape[0]))
                       for lo in range(0, gm.grid_shape[0], rows)]
-            if resume_state is not None:
-                bedges = [e for e in bedges
-                          if e[0] >= int(resume_state["hi"])]
+            bedges = _filter_resumed(bedges, resume_state)
             wb = _WriteBehind()
             for lo, hi, fetched in _prefetched(bedges, _fetch):
                 t0, vals, comp2, keep2, th_p, se_p = fetched
@@ -1145,7 +1209,7 @@ def stream_block_average(
                         view[...] = res[name]
                         out_vars[name][:, lo:hi] = view.reshape(
                             nbins, hi - lo, *gm.grid_shape[1:])
-                    _mark_resume(w, hi, rows)
+                    _mark_resume(w, hi, rows, sig=resume_sig)
 
                 wb.submit(_write)
             wb.finish()
@@ -1244,7 +1308,11 @@ def stream_rank(
         return_path = (rank_path[:-3] + "_return.nc"
                        if rank_path.endswith(".nc")
                        else rank_path + "_return.nc")
-    resume_state = _load_resume(rank_path) if resume else None
+    resume_sig = _resume_sig(
+        fn="stream_rank", mhw_path=mhw_path, nYears=nYears,
+        return_path=return_path, compress=compress)
+    resume_state = (_load_resume(rank_path, resume_sig)
+                    if resume else None)
     with h5py.File(mhw_path, "r") as f:
         gm = GridReader(mhw_path, "time_start")
         ev_dim = gm.dims[0]
@@ -1304,9 +1372,7 @@ def stream_rank(
 
         redges = [(lo, min(lo + rows, gm.grid_shape[0]))
                   for lo in range(0, gm.grid_shape[0], rows)]
-        if resume_state is not None:
-            redges = [e for e in redges
-                      if e[0] >= int(resume_state["hi"])]
+        redges = _filter_resumed(redges, resume_state)
         wb = _WriteBehind()
         for lo, hi, blk in _prefetched(redges, _fetch):
             r_all = np.asarray(rank_b(jnp.asarray(blk)))
@@ -1319,7 +1385,7 @@ def stream_rank(
                     pvars[v][:, lo:hi] = (
                         (nYears + 1) / r).reshape(shape)
                 wp.h.flush()
-                _mark_resume(wr, hi, rows)
+                _mark_resume(wr, hi, rows, sig=resume_sig)
 
             wb.submit(_write)
         wb.finish()
@@ -1462,13 +1528,27 @@ def stream_run(
         # crashed run leaves every stripe below the recorded watermark
         # fully written; the watermark attr is the LAST thing each
         # stripe's write job sets
+        resume_sig = _resume_sig(
+            fn="stream_run", var=var, mhw_path=mhw_path,
+            block_path=block_path, rank_path=rank_path,
+            return_path=return_path,
+            climatologyPeriod=list(climatologyPeriod), pctile=pctile,
+            windowHalfWidth=windowHalfWidth,
+            smoothPercentile=smoothPercentile,
+            smoothPercentileWidth=smoothPercentileWidth,
+            maxPadLength=maxPadLength, coldSpells=coldSpells,
+            tstep=tstep, anynans=anynans, skipna=skipna,
+            minDuration=minDuration, joinGaps=joinGaps, maxGap=maxGap,
+            blockLength=blockLength, removeMissing=removeMissing,
+            events_layout=events_layout, dtype=np.dtype(dtype).str,
+            reference_quirks=reference_quirks, compress=compress)
         resume_state = None
         if resume:
             if events_layout == "union":
                 raise XmhwException(
                     "resume=True requires events_layout='compact' (the "
                     "union event axis needs every stripe in memory)")
-            resume_state = _load_resume(clim_path)
+            resume_state = _load_resume(clim_path, resume_sig)
         if resume_state is not None:
             rows = int(resume_state["rows"])  # keep stripe alignment
 
@@ -1560,12 +1640,10 @@ def stream_run(
         kmax = 1
         label_union = []
         smin = emax = None  # event time extremes for nYears
-        done_hi = 0
         if resume_state is not None:
             kmax = int(resume_state["kmax"])
             smin = resume_state["smin"]
             emax = resume_state["emax"]
-            done_hi = int(resume_state["hi"])
         def _fetch(lo, hi):
             block = g.read(lo, hi).astype(dtype, copy=False)
             # detection drops any-NaN cells under ``anynans``, but the
@@ -1590,8 +1668,7 @@ def stream_run(
         edges = [(lo, min(lo + rows, g.grid_shape[0]))
                  for lo in range(0, g.grid_shape[0], rows)]
         all_edges = list(edges)  # return-file read-back covers every stripe
-        if done_hi:
-            edges = [e for e in edges if e[0] >= done_hi]
+        edges = _filter_resumed(edges, resume_state)
 
         def _progress(hi, kmax, smin, emax):
             # set LAST in each stripe's write job: stripes at or below
@@ -1605,7 +1682,7 @@ def stream_run(
                 if bw is not None:
                     bw.h.flush()
                 _mark_resume(cw, hi, rows, kmax=int(kmax),
-                             smin=smin, emax=emax)
+                             smin=smin, emax=emax, sig=resume_sig)
 
         wb = _WriteBehind()
         for lo, hi, fetched in _prefetched(edges, _fetch):
