@@ -106,3 +106,108 @@ def test_peak_rss_helpers():
         x = np.ones(int(50e6 // 8))  # ~50 MB
         x[::4096] = 2.0
         assert bench._peak_rss_gb() >= after
+
+
+# ---- review-pass fixes: calendar/netcdf/dataarray edge cases -----------
+
+def test_window_ranges_rejects_duplicate_centers():
+    """Sub-daily doys (tstep=False) repeat within a year-chunk: the
+    one-range-per-(doy, year) table can't represent that pooled set and
+    must refuse (callers fall back to the gather path)."""
+    from xmhw_tpu.core.calendar import build_window_ranges
+
+    doy = np.repeat(np.arange(1, 21), 4)  # 6-hourly: 4 steps per day
+    with pytest.raises(ValueError, match="duplicate"):
+        build_window_ranges(doy, 2, 366)
+    # daily doys are fine
+    build_window_ranges(np.arange(1, 21), 2, 366)
+
+
+def test_run_clim_subdaily_falls_back_to_gather(monkeypatch):
+    """run_clim with duplicated doys must fall back to the XLA gather
+    path (pooling everything) instead of silently using a wrong range
+    table — engines must agree."""
+    import jax.numpy as jnp
+
+    from xmhw_tpu.core.pipeline import run_clim
+
+    rng = np.random.default_rng(0)
+    reps, days = 4, 60
+    doy = np.repeat(np.arange(1, days + 1), reps).astype(np.int64)
+    ts = rng.normal(15, 2, (days * reps, 4)).astype(np.float32)
+    th_forced, se_forced = run_clim(ts, doy, 2, 366, 90, False, 31,
+                                    False, use_pallas=True)
+    th_ref, se_ref = run_clim(ts, doy, 2, 366, 90, False, 31, False,
+                              use_pallas=False)
+    np.testing.assert_allclose(np.asarray(th_forced),
+                               np.asarray(th_ref), equal_nan=True)
+    np.testing.assert_allclose(np.asarray(se_forced),
+                               np.asarray(se_ref), equal_nan=True)
+
+
+def test_save_dataset_dim_named_data_var_roundtrip(tmp_path):
+    """A data variable named after its own dim is a coordinate variable
+    (xarray semantics): its VALUES must survive the round trip."""
+    import xmhw_tpu as xm
+    from xmhw_tpu.xrlite import Coord, DataArray, Dataset
+
+    ds = Dataset()
+    ds["depth"] = DataArray(np.array([10., 20., 30., 40.]), ("depth",))
+    ds["temp"] = DataArray(np.arange(4.0), ("depth",))
+    p = str(tmp_path / "d.nc")
+    xm.save_dataset(ds, p)
+    back = xm.open_dataset(p)
+    np.testing.assert_array_equal(
+        np.asarray(back["temp"].coords["depth"].values),
+        [10., 20., 30., 40.])
+
+
+def test_open_dataset_unattached_dimension_axis(tmp_path):
+    """A variable axis with an empty DIMENSION_LIST entry (no attached
+    scale) gets a synthetic dim name instead of IndexError."""
+    import h5py
+
+    import xmhw_tpu as xm
+
+    p = str(tmp_path / "p.nc")
+    with h5py.File(p, "w") as f:
+        lat = f.create_dataset("lat", data=np.arange(3.0))
+        lat.make_scale("lat")
+        v = f.create_dataset("v", data=np.zeros((2, 3)))
+        v.dims[1].attach_scale(lat)  # dim 0 left unattached
+    ds = xm.open_dataset(p)
+    assert ds["v"].dims[1] == "lat"
+    assert ds["v"].dims[0].startswith("dim_")
+
+
+def test_dataarray_accepts_bare_timeindex_coord():
+    """xarray-style bare coords value: a TimeIndex passed directly (not
+    wrapped in Coord/tuple) must work."""
+    from xmhw_tpu.xrlite import DataArray, TimeIndex
+
+    t = TimeIndex(np.arange("2000-01-01", "2000-01-11",
+                            dtype="datetime64[D]").astype(
+                                "datetime64[ns]"))
+    da = DataArray(np.zeros((10, 2)), ("time", "cell"), {"time": t})
+    assert len(da.coords["time"].values) == 10
+
+
+def test_sel_descending_datetime_partial_slice():
+    """Partial date-string slices on a DESCENDING time axis must select
+    whole periods, bounds in coord order (later, earlier)."""
+    from xmhw_tpu.xrlite import DataArray
+
+    t = np.arange("2003-01-01", "2003-04-01",
+                  dtype="datetime64[D]")[::-1].astype("datetime64[ns]")
+    da = DataArray(np.arange(len(t), dtype=float), ("time",),
+                   {"time": ("time", t)})
+    out = da.sel(time=slice("2003-03", "2003-02"))
+    got = np.asarray(out.coords["time"].values)
+    assert len(got) == 59  # all of Feb (28) + Mar (31)
+    assert got[0] == np.datetime64("2003-03-31", "ns")
+    assert got[-1] == np.datetime64("2003-02-01", "ns")
+    # ascending stays correct
+    da2 = DataArray(np.arange(len(t), dtype=float), ("time",),
+                    {"time": ("time", t[::-1])})
+    out2 = da2.sel(time=slice("2003-02", "2003-03"))
+    assert len(np.asarray(out2.coords["time"].values)) == 59

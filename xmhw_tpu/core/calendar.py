@@ -138,12 +138,22 @@ def build_window_ranges(doy: np.ndarray, w: int, ndoy: int):
     wraps = np.concatenate([[0], (np.diff(doy) < 0).astype(np.int64)])
     yearidx = np.cumsum(wraps)
     NY = int(yearidx[-1]) + 1
+    centers_d = doy - 1
+    # the one-range-per-(doy, year) form REQUIRES a unique center:
+    # direct assignment below would silently keep only the LAST center
+    # (e.g. sub-daily data with tstep=False), pooling a smaller set
+    # than the gather table and desynchronizing the engines — refuse,
+    # callers fall back to the gather path
+    flat = centers_d.astype(np.int64) * NY + yearidx
+    if len(np.unique(flat)) != T:
+        raise ValueError(
+            "duplicate (doy, year) centers — the contiguous-range "
+            "window table requires each doy at most once per year "
+            "(daily data, or tstep=True for sub-daily)")
     starts = np.zeros((ndoy, NY), np.int32)
     lens = np.zeros((ndoy, NY), np.int32)
-    centers_d = doy - 1
     lo = np.maximum(np.arange(T) - w, 0)
     hi = np.minimum(np.arange(T) + w + 1, T)
-    # at most one center per (doy, year): direct assignment
     starts[centers_d, yearidx] = lo.astype(np.int32)
     lens[centers_d, yearidx] = (hi - lo).astype(np.int32)
     return starts, lens, NY, 2 * w + 1

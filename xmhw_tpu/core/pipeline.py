@@ -209,7 +209,15 @@ def run_clim(ts_np: np.ndarray, doy_np: np.ndarray, w: int, ndoy: int,
     out_s = np.empty((ndoy, C), ts_np.dtype)
 
     if pallas:
-        starts_np, lens_np, ny, rmax = build_window_ranges(doy_np, w, ndoy)
+        try:
+            starts_np, lens_np, ny, rmax = build_window_ranges(
+                doy_np, w, ndoy)
+        except ValueError:
+            # duplicate (doy, year) centers (sub-daily data with
+            # tstep=False): the range table can't represent the pooled
+            # set — use the XLA gather path, which pools everything
+            pallas = False
+    if pallas:
         runner = CellRunner(C, T, 2 * w + 1, ndoy, block=block, mesh=mesh)
         # each device shard feeds the kernel whole 128-lane tiles
         n_dev = len(runner.mesh.devices.flat) if runner.mesh else 1
@@ -424,9 +432,9 @@ def fused_stats_kernel(table, ts_pad, th, se, doy_pos, ybod, T, nbins,
                           for k in EVENT_VARS])
         out["block"] = binned_event_stats(
             vals, jnp.clip(bin_idx, 0, nbins - 1), valid, nbins)
-        thr = th[doy_pos]
-        ser = se[doy_pos]
-        cats = jnp.floor(1.0 + (ts - thr) / (thr - ser))
+        from .stats import category_index
+
+        cats = category_index(ts, th[doy_pos], se[doy_pos])
         out["day"] = binned_day_stats(ts, cats, day_edges,
                                       with_cats=True,
                                       count_nans=count_nans)
@@ -483,8 +491,12 @@ def run_fused(ts_np, doy_np, doy_pos_np, *, w=5, ndoy=366, pctile=90,
                        and jax.default_backend() != "cpu")
 
     if pallas_clim:
-        starts_np, lens_np, ny, rmax = build_window_ranges(
-            doy_clim_np, w, ndoy)
+        try:
+            starts_np, lens_np, ny, rmax = build_window_ranges(
+                doy_clim_np, w, ndoy)
+        except ValueError:  # duplicate (doy, year) centers: gather path
+            pallas_clim = False
+    if pallas_clim:
         main_np = (_pad_rows(ts_np, rmax)
                    if same_clim else ts_np)
         clim_np = (main_np if same_clim else

@@ -41,6 +41,15 @@ EVENT_VARS = [
 ]
 
 
+def category_index(ts, th, se, xp=jnp):
+    """Hobday category index ``floor(1 + (ts-th)/(th-se))`` (reference:
+    xmhw/stats.py:227-231, features.py:62). The single definition used
+    by the fused pipeline, the streamed stats stage, and the in-memory
+    block_average (pass ``xp=numpy`` for the host path) — one place to
+    change the NaN/clipping policy, three paths stay in sync."""
+    return xp.floor(1.0 + (ts - th) / (th - se))
+
+
 @functools.partial(jax.jit, static_argnames=("nbins",))
 def binned_event_stats(values, bin_idx, valid, nbins):
     """All block aggregations over compact event tables, on device.

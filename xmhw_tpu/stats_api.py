@@ -144,7 +144,9 @@ def check_variables(dstime):
             ts = dstime["ts"].data
             th = dstime["thresh"].data
             se = dstime["seas"].data
-            cats = np.floor(1 + (ts - th) / (th - se))
+            from .core.stats import category_index
+
+            cats = category_index(ts, th, se, xp=np)
             dstime["cats"] = dstime["ts"].copy(data=cats)
         if "ts" not in variables and len(variables) != 1:
             sw_temp = False

@@ -1267,11 +1267,11 @@ def _cats_kernel(ts, th, se, doy_pos):
         import jax
         import jax.numpy as jnp
 
+        from .core.stats import category_index
+
         @jax.jit
         def k(ts, th, se, doy_pos):
-            tht = th[doy_pos]
-            set_ = se[doy_pos]
-            return jnp.floor(1 + (ts - tht) / (tht - set_))
+            return category_index(ts, th[doy_pos], se[doy_pos])
 
         _cats_jit = k
     return _cats_jit(ts, th, se, doy_pos)

@@ -78,10 +78,13 @@ class DataArray:
             else:
                 # scalar or 1-D coord named after its dim
                 arr = _asarray(v)
-                cdims = (k,) if (np.ndim(arr) == 1 and k in self.dims) else ()
-                if np.ndim(arr) == 1 and k not in self.dims and len(arr) == 1:
+                # np.ndim would iterate a TimeIndex's __getitem__ into
+                # infinitely nested singletons — it is always 1-D
+                nd = 1 if isinstance(arr, TimeIndex) else np.ndim(arr)
+                cdims = (k,) if (nd == 1 and k in self.dims) else ()
+                if nd == 1 and k not in self.dims and len(arr) == 1:
                     arr = arr[0] if not isinstance(arr, TimeIndex) else arr
-                if np.ndim(arr) >= 1 and not cdims:
+                if nd >= 1 and not cdims:
                     raise ValueError(
                         f"coordinate {k!r} has {np.ndim(arr)}-D values but "
                         f"no dimension: name it after one of {self.dims} "
@@ -224,21 +227,36 @@ class DataArray:
                 continue
             if isinstance(label, slice):
                 start, stop = label.start, label.stop
-                # non-datetime coords: xarray label slices are stop-INCLUSIVE,
-                # so an exact-match stop label must be kept (side="right").
-                # Datetime stops are pre-incremented to the next period start
-                # below, so side="left" is the inclusive choice there.
-                stop_side = "right"
-                if np.issubdtype(np.asarray(vals).dtype, np.datetime64):
-                    stop_side = "left"
-                    start = None if start is None else np.datetime64(start)
-                    if stop is not None:
-                        # like xarray, a partial date string selects through
-                        # the END of that period ("2003-01" -> 31 Jan 23:59)
-                        stop64 = np.datetime64(stop)
-                        stop = (stop64 + 1).astype("datetime64[ns]")
                 va = np.asarray(vals)
                 desc = len(va) > 1 and va[0] > va[-1]
+                is_dt = np.issubdtype(va.dtype, np.datetime64)
+                # non-datetime coords: xarray label slices are stop-INCLUSIVE,
+                # so an exact-match stop label must be kept (side="right").
+                # Datetime bounds are pre-incremented to the next period
+                # start below, so side="left" is the inclusive choice there.
+                stop_side = "right"
+                start_side = "right"  # descending: first element <= start
+                if is_dt:
+                    stop_side = "left"
+                    if desc:
+                        # bounds in coord order: start is the LATER
+                        # period — a partial date string selects through
+                        # its END (exclusive next-period bound); stop is
+                        # the EARLIER period — from its START
+                        start_side = "left"
+                        if start is not None:
+                            start = (np.datetime64(start)
+                                     + 1).astype("datetime64[ns]")
+                        stop = (None if stop is None
+                                else np.datetime64(stop))
+                    else:
+                        start = (None if start is None
+                                 else np.datetime64(start))
+                        if stop is not None:
+                            # a partial date string selects through the
+                            # END of that period ("2003-01" -> 31 Jan)
+                            stop = (np.datetime64(stop)
+                                    + 1).astype("datetime64[ns]")
                 if desc:
                     # descending coords (NetCDF lat is often north-first):
                     # like xarray, bounds are given in coord order
@@ -246,7 +264,7 @@ class DataArray:
                     n = len(va)
                     rev = va[::-1]
                     lo = 0 if start is None else n - int(
-                        np.searchsorted(rev, start, side="right"))
+                        np.searchsorted(rev, start, side=start_side))
                     hi = n if stop is None else n - int(
                         np.searchsorted(rev, stop, side="left"))
                     iidx[dim] = slice(lo, hi)

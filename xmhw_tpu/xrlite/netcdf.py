@@ -125,8 +125,12 @@ def _open_h5(path):
             dims = []
             if "DIMENSION_LIST" in node.attrs:
                 for i, refs in enumerate(node.attrs["DIMENSION_LIST"]):
-                    ref = refs[0]
-                    dims.append(h[ref].name.lstrip("/"))
+                    if len(refs):
+                        dims.append(h[refs[0]].name.lstrip("/"))
+                    else:
+                        # axis with no attached scale (hand-written or
+                        # partially-annotated files): synthetic name
+                        dims.append(f"dim_{i}")
             else:
                 dims = [f"dim_{i}" for i in range(vals.ndim)]
             if _is_time(name, attrs):
@@ -220,6 +224,16 @@ def save_dataset(ds, path, encoding=None):
         scales = {}
         for d, size in dim_sizes.items():
             coord = ds.coords.get(d)
+            if coord is None:
+                # a data variable named after its own dim is a
+                # coordinate variable (xarray semantics): its VALUES
+                # become the scale (it is skipped in the var loop below
+                # — dropping it here would silently replace the values
+                # with positional labels)
+                dv = ds.data_vars.get(d) if hasattr(
+                    ds, "data_vars") else None
+                if dv is not None and tuple(dv.dims) == (d,):
+                    coord = dv
             attrs = {}
             if coord is not None and coord.dims == (d,):
                 vals = coord.values
