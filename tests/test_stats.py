@@ -202,7 +202,7 @@ def test_reference_import_paths(oisst_ts):
     b = np.zeros(29, bool)
     b[1:6] = b[11:17] = b[20:25] = True
     out = mhw_filter(b, 5, True, 3)
-    assert out["n_events"][0] == 2
+    assert out["n_events"] == 2  # scalar for 1-D input (like the rest)
     assert np.nanmax(out["events"]) == 11
 
     # get_period matches the reference unit test (test_features.py:64-81)

@@ -382,7 +382,8 @@ def detect(
                     mhw[v].attrs.update(units=str(units),
                                         calendar=str(cal))
     if intermediate:
-        mhw_inter = _assemble_inter(inter, time_vals, point, ts, tdim)
+        mhw_inter = _assemble_inter(inter, time_vals, point, ts, tdim,
+                                    tindex)
         return mhw, mhw_inter
     return mhw
 
@@ -508,11 +509,23 @@ def _assemble_events_compact(tables, n_events, time_vals, point, ts, tdim,
     return ds
 
 
-def _assemble_inter(inter, time_vals, point, ts, tdim):
+def _assemble_inter(inter, time_vals, point, ts, tdim, tindex=None):
     """Per-day intermediate Dataset (reference: xmhw.py:471-478;
     point-mode keeps the pandas 'index' dim name, grid mode uses time)."""
     dimname = "index" if point else "time"
-    tcoord = Coord((dimname,), time_vals)
+    tattrs = {}
+    if tindex is not None and not np.issubdtype(
+            np.asarray(time_vals).dtype, np.datetime64):
+        # synthetic calendars keep raw CF offsets: carry units/calendar
+        # on the time coord so block_average(dstime=mhw_inter) can
+        # derive years (same treatment as the mhw time_* variables)
+        units = (getattr(tindex, "encoding", {}) or {}).get(
+            "units") or getattr(tindex, "units", None)
+        if units:
+            tattrs = {"units": str(units),
+                      "calendar": str(getattr(tindex, "calendar",
+                                              "standard"))}
+    tcoord = Coord((dimname,), time_vals, tattrs)
     ds = Dataset()
     if point:
         for name, arr in inter.items():

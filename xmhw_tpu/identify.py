@@ -113,22 +113,34 @@ def mhw_filter(bthresh, min_duration=5, join_gaps=True, max_gap=2,
                 day0_fillna_quirk=bool(day0_fillna_quirk))
     eid = np.asarray(f["event_id"]).astype(float)
     eid[eid < 0] = np.nan
-    # reference surface (identify.py:461-471 + join_gaps concat): per-day
-    # float series, start/end valued ONLY at each event's END row
+    # reference surface (identify.py:461-471 + join_gaps concat):
+    # per-day float series. The END value sits at each (merged) event's
+    # end row; the START value sits at the end row of the event's FIRST
+    # component run (reference join_gaps keeps st where gaps is True —
+    # identify.py:313-316) — for unjoined events the two coincide.
     ev_start = np.asarray(f["ev_start"])
     ev_end = np.asarray(f["ev_end"])
     T = b.shape[0]
-    is_end = (np.asarray(f["event_day"])
-              & (np.arange(T)[:, None] == ev_end))
-    start = np.where(is_end, ev_start.astype(float), np.nan)
+    rows = np.arange(T)[:, None]
+    is_end = np.asarray(f["event_day"]) & (rows == ev_end)
     end = np.where(is_end, ev_end.astype(float), np.nan)
+    # first component run's end: walk the raw exceedance run from each
+    # event's start index (gap days absorbed by joining are False in b)
+    start = np.full(b.shape, np.nan)
+    for c in range(b.shape[1]):
+        for s0 in np.unique(ev_start[is_end[:, c], c]):
+            e0 = int(s0)
+            while e0 + 1 < T and b[e0 + 1, c]:
+                e0 += 1
+            start[e0, c] = float(s0)
 
     def _sq(x):
         return x[:, 0] if squeeze else x
 
+    n_events = np.asarray(f["n_events"])
     return {
         "events": _sq(eid),
-        "n_events": np.asarray(f["n_events"]),
+        "n_events": int(n_events[0]) if squeeze else n_events,
         "start": _sq(start),
         "end": _sq(end),
     }
@@ -170,17 +182,17 @@ def calculate_thresh(twindow: DataArray, pctile: int = 90,
     window_roll, so skipna is accepted for compatibility only."""
     doys = np.asarray(twindow.coords["doy"].values)
     vals = np.asarray(twindow.data, np.float64)
-    ndoy = int(doys.max()) if len(doys) else 0
-    out = np.full(ndoy, np.nan)
-    for d in range(1, ndoy + 1):
-        sel = vals[doys == d]
-        if len(sel):
-            out[d - 1] = np.quantile(sel, pctile / 100.0)
-    if not tstep and ndoy >= 61:
-        out[59] = np.nanmean(out[58:61])
+    # reference groupby('doy') emits only PRESENT doys (noleap data has
+    # no doy-60 row at all — identify.py:233-240; its feb29 substitution
+    # is then a no-op)
+    present = np.unique(doys).astype(np.int64)
+    out = np.array([np.quantile(vals[doys == d], pctile / 100.0)
+                    for d in present])
+    if not tstep and 60 in present:
+        win = np.isin(present, (59, 60, 61))
+        out[present == 60] = np.nanmean(out[win])
     return DataArray(out, ("doy",),
-                     {"doy": Coord(("doy",), np.arange(1, ndoy + 1))},
-                     name="thresh")
+                     {"doy": Coord(("doy",), present)}, name="thresh")
 
 
 def calculate_seas(twindow: DataArray, skipna: bool = False,
@@ -189,17 +201,13 @@ def calculate_seas(twindow: DataArray, skipna: bool = False,
     (reference: identify.py:245-270)."""
     doys = np.asarray(twindow.coords["doy"].values)
     vals = np.asarray(twindow.data, np.float64)
-    ndoy = int(doys.max()) if len(doys) else 0
-    out = np.full(ndoy, np.nan)
-    for d in range(1, ndoy + 1):
-        sel = vals[doys == d]
-        if len(sel):
-            out[d - 1] = sel.mean()
-    if not tstep and ndoy >= 61:
-        out[59] = np.nanmean(out[58:61])
+    present = np.unique(doys).astype(np.int64)
+    out = np.array([vals[doys == d].mean() for d in present])
+    if not tstep and 60 in present:
+        win = np.isin(present, (59, 60, 61))
+        out[present == 60] = np.nanmean(out[win])
     return DataArray(out, ("doy",),
-                     {"doy": Coord(("doy",), np.arange(1, ndoy + 1))},
-                     name="seas")
+                     {"doy": Coord(("doy",), present)}, name="seas")
 
 
 def join_events(events: np.ndarray, joined):

@@ -246,8 +246,8 @@ def block_average(
             dstime, sw_temp, sw_cats = None, False, False
         else:
             tdim, _stack = check_coordinates(dstime)
-            tvals = dstime["ts"].coords[tdim].values
-            tyears, _ = _years_of(tvals)
+            tcoord = dstime["ts"].coords[tdim]
+            tyears, _ = _years_of(tcoord.values, tcoord.attrs)
             period = [int(tyears[0]), int(tyears[-1])]
 
     if removeMissing and not sw_temp:
@@ -268,8 +268,12 @@ def block_average(
     # ---- event-table stats -------------------------------------------------
     tvar = mhw[mtime]
     ev_years, ev_valid = _years_of(tvar.data, tvar.attrs)
-    flat_years = ev_years.reshape(ev_years.shape[0], -1)
-    flat_valid = ev_valid.reshape(ev_valid.shape[0], -1)
+    # explicit trailing size: reshape(0, -1) on a zero-event union
+    # layout is rejected by numpy, but an empty event axis is a
+    # legitimate detect() result (no heatwaves in the region)
+    ncells = int(np.prod(ev_years.shape[1:], dtype=np.int64))
+    flat_years = ev_years.reshape(ev_years.shape[0], ncells)
+    flat_valid = ev_valid.reshape(ev_valid.shape[0], ncells)
     if split:
         flat_years = _split_assignment(mhw, bins, flat_years)
     bin_idx = np.searchsorted(bins, flat_years, side="right") - 1
@@ -319,15 +323,53 @@ def block_average(
                            years_coord, removeMissing)
 
 
+def _apply_missing_mask(out, has_nan, nbins, ts_grid_dims,
+                        ts_grid_shape, ts_coords):
+    """NaN-mask every year-block variable where the input ts had NaNs,
+    aligning the mask (built on the DSTIME grid) to EACH variable's own
+    coordinate order — the event-table stats follow the mhw dataset's
+    layout (e.g. sorted-unique coords from the union assembly), which
+    need not match the dstime file's native order (descending latitude
+    is the common SST layout)."""
+    mask_nd = has_nan.reshape((nbins,) + tuple(ts_grid_shape))
+    for name, da in out.items():
+        if da.dims[0] != "years" or name == "years":
+            continue
+        m = mask_nd
+        aligned = True
+        for ax, d in enumerate(da.dims[1:], start=1):
+            if d not in ts_coords:
+                aligned = False
+                break
+            src = np.asarray(ts_coords[d].values)
+            dst = np.asarray(da.coords[d].values)
+            if src.shape == dst.shape and np.array_equal(src, dst):
+                continue
+            pos = np.array([np.nonzero(src == x)[0] for x in dst])
+            if pos.size != len(dst):
+                aligned = False
+                break
+            m = np.take(m, pos.reshape(-1), axis=ax)
+        if not aligned:
+            continue  # incommensurate grids: leave unmasked
+        out[name] = da.copy(data=np.where(m, np.nan, da.data))
+
+
 def _block_ts_stats(out, dstime, sw_temp, sw_cats, bins, nbins,
                     years_coord, removeMissing, device=False):
     """Per-day ts / category block stats appended to ``out``."""
     if sw_temp:
         mode = "cats" if sw_cats else "ts"
         tdim, _stack = check_coordinates(dstime)
-        tyears, _ = _years_of(dstime["ts"].coords[tdim].values)
+        tcoord = dstime["ts"].coords[tdim]
+        tyears, _ = _years_of(tcoord.values, tcoord.attrs)
         ts_flat, ts_grid_dims, ts_grid_shape = _flatten_cells(
             dstime["ts"], tdim)
+        if device and np.any(np.diff(np.asarray(tyears)) < 0):
+            # the device path's contiguous-slice year blocks require a
+            # year-sorted time axis; fall back to the (always-correct)
+            # host binning for out-of-order inputs
+            device = False
         if device:
             return _block_ts_stats_device(
                 out, dstime, mode, tdim, tyears, ts_flat, ts_grid_dims,
@@ -367,12 +409,8 @@ def _block_ts_stats(out, dstime, sw_temp, sw_cats, bins, nbins,
             has_nan = _binned_reduce(
                 np.where(np.isnan(ts_flat), 1.0, np.nan), dy_idx2, dy_ok2,
                 nbins, "count") > 0
-            for name, da in out.items():
-                if da.dims[0] == "years" and name != "years":
-                    masked = np.where(
-                        has_nan.reshape((nbins,) + tuple(ts_grid_shape)),
-                        np.nan, da.data)
-                    out[name] = da.copy(data=masked)
+            _apply_missing_mask(out, has_nan, nbins, ts_grid_dims,
+                                ts_grid_shape, dstime["ts"].coords)
     return out
 
 
@@ -417,10 +455,8 @@ def _block_ts_stats_device(out, dstime, mode, tdim, tyears, ts_flat,
             arr.astype(np.float64).reshape((nbins,) + tuple(ts_grid_shape)),
             ("years", *ts_grid_dims), tcoords)
     if removeMissing and has_nan is not None:
-        mask = (has_nan > 0).reshape((nbins,) + tuple(ts_grid_shape))
-        for name, da in out.items():
-            if da.dims[0] == "years" and name != "years":
-                out[name] = da.copy(data=np.where(mask, np.nan, da.data))
+        _apply_missing_mask(out, has_nan > 0, nbins, ts_grid_dims,
+                            ts_grid_shape, dstime["ts"].coords)
     return out
 
 
