@@ -18,7 +18,7 @@ from .stats_api import block_average, mhw_rank
 from .stream import (stream_block_average, stream_detect,
                      stream_rank, stream_run, stream_threshold)
 from .xrlite import (DataArray, Dataset, TimeIndex, open_dataset,
-                     save_dataset)
+                     save_dataset, to_dataframe, to_xarray)
 
 __version__ = "0.1.0"
 
@@ -40,5 +40,7 @@ __all__ = [
     "stream_run",
     "stream_threshold",
     "threshold",
+    "to_dataframe",
+    "to_xarray",
     "__version__",
 ]

@@ -124,15 +124,17 @@ def mhw_filter(bthresh, min_duration=5, join_gaps=True, max_gap=2,
     rows = np.arange(T)[:, None]
     is_end = np.asarray(f["event_day"]) & (rows == ev_end)
     end = np.where(is_end, ev_end.astype(float), np.nan)
-    # first component run's end: walk the raw exceedance run from each
-    # event's start index (gap days absorbed by joining are False in b)
+    # first component run's end: the raw exceedance run containing each
+    # event's start index (gap days absorbed by joining are False in b).
+    # Vectorized over the whole (T, C) grid: a reverse running minimum
+    # of the next-False row gives every raw run's end in one pass.
     start = np.full(b.shape, np.nan)
-    for c in range(b.shape[1]):
-        for s0 in np.unique(ev_start[is_end[:, c], c]):
-            e0 = int(s0)
-            while e0 + 1 < T and b[e0 + 1, c]:
-                e0 += 1
-            start[e0, c] = float(s0)
+    next_false = np.minimum.accumulate(
+        np.where(b, T, rows)[::-1], axis=0)[::-1]
+    erow, ecol = np.nonzero(is_end)
+    s0 = ev_start[erow, ecol]
+    e0 = next_false[s0, ecol] - 1  # end of the raw run starting at s0
+    start[e0, ecol] = s0.astype(float)
 
     def _sq(x):
         return x[:, 0] if squeeze else x

@@ -332,10 +332,21 @@ def _apply_missing_mask(out, has_nan, nbins, ts_grid_dims,
     need not match the dstime file's native order (descending latitude
     is the common SST layout)."""
     mask_nd = has_nan.reshape((nbins,) + tuple(ts_grid_shape))
+    ts_grid_dims = tuple(ts_grid_dims)
     for name, da in out.items():
         if da.dims[0] != "years" or name == "years":
             continue
+        # the variable's grid dims may be a PERMUTATION of the dstime
+        # grid dims (not just reordered coords within each dim):
+        # transpose the mask to the variable's dim order first, or the
+        # per-dim value alignment below would mask the wrong axes
+        if sorted(da.dims[1:]) != sorted(ts_grid_dims):
+            continue  # incommensurate grids: leave unmasked
         m = mask_nd
+        if tuple(da.dims[1:]) != ts_grid_dims:
+            perm = (0,) + tuple(ts_grid_dims.index(d) + 1
+                                for d in da.dims[1:])
+            m = np.transpose(m, perm)
         aligned = True
         for ax, d in enumerate(da.dims[1:], start=1):
             if d not in ts_coords:

@@ -268,9 +268,22 @@ class _Writer:
             # gzip and unlimited dims require a chunked layout; one grid
             # row per chunk
             chunks = (shape[0], 1) + shape[2:] if len(shape) > 1 else shape
-        if chunks and all(s > 0 for s in shape):
+        if chunks and not all(s > 0 for s in shape):
             # h5py rejects chunked layouts with any zero extent (e.g. an
-            # empty events axis); contiguous is fine for empty datasets
+            # empty events axis); contiguous is fine for empty datasets,
+            # but a requested gzip/growable layout is silently dropped
+            # with it — say so instead of losing the request quietly
+            if compress or grow_dims:
+                import warnings
+
+                warnings.warn(
+                    f"{name}: a dimension has zero extent; HDF5 cannot "
+                    "chunk it, so the requested "
+                    + ("compression" if compress else "growable layout")
+                    + " is skipped for this (empty) dataset",
+                    stacklevel=2)
+            chunks = None
+        if chunks:
             kw["chunks"] = tuple(min(c, s) for c, s in zip(chunks, shape))
             if compress:
                 # the reference's documented staging encodes the sparse
@@ -443,18 +456,23 @@ def stream_threshold(
     tune_malloc()
     if smoothPercentileWidth % 2 == 0:
         raise XmhwException("smoothPercentileWidth should be odd")
-    resume_sig = _resume_sig(
-        fn="stream_threshold", var=var,
-        climatologyPeriod=list(climatologyPeriod), pctile=pctile,
-        windowHalfWidth=windowHalfWidth,
-        smoothPercentile=smoothPercentile,
-        smoothPercentileWidth=smoothPercentileWidth,
-        maxPadLength=maxPadLength, coldSpells=coldSpells, tstep=tstep,
-        anynans=anynans, skipna=skipna, dtype=np.dtype(dtype).str,
-        compress=compress)
-    resume_state = (_load_resume(out_path, resume_sig)
-                    if resume else None)
     with GridReader(in_path, var, lead_dim=tdim) as g:
+        # the input identity (path + grid shape) is part of the resume
+        # fingerprint: resuming after swapping the input dataset must
+        # raise, not stitch stripes of two datasets into one output
+        resume_sig = _resume_sig(
+            fn="stream_threshold", var=var,
+            in_path=os.path.abspath(in_path),
+            grid_shape=list(g.grid_shape),
+            climatologyPeriod=list(climatologyPeriod), pctile=pctile,
+            windowHalfWidth=windowHalfWidth,
+            smoothPercentile=smoothPercentile,
+            smoothPercentileWidth=smoothPercentileWidth,
+            maxPadLength=maxPadLength, coldSpells=coldSpells,
+            tstep=tstep, anynans=anynans, skipna=skipna,
+            dtype=np.dtype(dtype).str, compress=compress)
+        resume_state = (_load_resume(out_path, resume_sig)
+                        if resume else None)
         tindex, _ = g.coord(tdim)
         if not isinstance(tindex, TimeIndex):
             raise XmhwException(f"{tdim} must be a CF time coordinate")
@@ -824,24 +842,26 @@ def stream_detect(
         inter_path = (out_path[:-3] + "_inter.nc"
                       if out_path.endswith(".nc")
                       else out_path + "_inter.nc")
-    resume_sig = _resume_sig(
-        fn="stream_detect", var=var, clim_path=clim_path,
-        minDuration=minDuration, joinGaps=joinGaps, maxGap=maxGap,
-        maxPadLength=maxPadLength, coldSpells=coldSpells,
-        intermediate=intermediate, anynans=anynans, tstep=tstep,
-        dtype=np.dtype(dtype).str, events_layout=events_layout,
-        thresh_var=thresh_var, seas_var=seas_var,
-        reference_quirks=reference_quirks, compress=compress)
-    resume_state = None
-    if resume:
-        if events_layout == "union":
-            raise XmhwException(
-                "resume=True requires events_layout='compact' (the "
-                "union event axis needs every stripe in memory)")
-        resume_state = _load_resume(out_path, resume_sig)
+    if resume and events_layout == "union":
+        raise XmhwException(
+            "resume=True requires events_layout='compact' (the "
+            "union event axis needs every stripe in memory)")
     with GridReader(ts_path, var, lead_dim=tdim) as g, \
             GridReader(clim_path, thresh_var, lead_dim="doy") as gth, \
             GridReader(clim_path, seas_var, lead_dim="doy") as gse:
+        resume_sig = _resume_sig(
+            fn="stream_detect", var=var,
+            ts_path=os.path.abspath(ts_path),
+            clim_path=os.path.abspath(clim_path),
+            grid_shape=list(g.grid_shape),
+            minDuration=minDuration, joinGaps=joinGaps, maxGap=maxGap,
+            maxPadLength=maxPadLength, coldSpells=coldSpells,
+            intermediate=intermediate, anynans=anynans, tstep=tstep,
+            dtype=np.dtype(dtype).str, events_layout=events_layout,
+            thresh_var=thresh_var, seas_var=seas_var,
+            reference_quirks=reference_quirks, compress=compress)
+        resume_state = (_load_resume(out_path, resume_sig)
+                        if resume else None)
         if tuple(gth.grid_shape) != tuple(g.grid_shape):
             raise XmhwException(
                 f"climatology grid {gth.grid_shape} != timeseries grid "
@@ -1037,16 +1057,22 @@ def stream_block_average(
                              binned_event_stats, day_block_edges)
 
     tune_malloc()
-    resume_sig = _resume_sig(
-        fn="stream_block_average", mhw_path=mhw_path,
-        dstime_path=dstime_path, dstime_var=dstime_var,
-        clim_path=clim_path, period=list(period) if period else None,
-        blockLength=blockLength, mtime=mtime,
-        removeMissing=removeMissing, thresh_var=thresh_var,
-        seas_var=seas_var, compress=compress)
-    resume_state = (_load_resume(out_path, resume_sig)
-                    if resume else None)
     with GridReader(mhw_path, "time_start") as gm:
+        resume_sig = _resume_sig(
+            fn="stream_block_average",
+            mhw_path=os.path.abspath(mhw_path),
+            dstime_path=(os.path.abspath(dstime_path)
+                         if dstime_path else None),
+            dstime_var=dstime_var,
+            clim_path=(os.path.abspath(clim_path)
+                       if clim_path else None),
+            grid_shape=list(gm.grid_shape),
+            period=list(period) if period else None,
+            blockLength=blockLength, mtime=mtime,
+            removeMissing=removeMissing, thresh_var=thresh_var,
+            seas_var=seas_var, compress=compress)
+        resume_state = (_load_resume(out_path, resume_sig)
+                        if resume else None)
         ev_dim = gm.dims[0]
         tattrs = {k: (v.decode() if isinstance(v, bytes) else v)
                   for k, v in gm.attrs.items()}
@@ -1308,13 +1334,14 @@ def stream_rank(
         return_path = (rank_path[:-3] + "_return.nc"
                        if rank_path.endswith(".nc")
                        else rank_path + "_return.nc")
-    resume_sig = _resume_sig(
-        fn="stream_rank", mhw_path=mhw_path, nYears=nYears,
-        return_path=return_path, compress=compress)
-    resume_state = (_load_resume(rank_path, resume_sig)
-                    if resume else None)
     with h5py.File(mhw_path, "r") as f:
         gm = GridReader(mhw_path, "time_start")
+        resume_sig = _resume_sig(
+            fn="stream_rank", mhw_path=os.path.abspath(mhw_path),
+            grid_shape=list(gm.grid_shape), nYears=nYears,
+            return_path=return_path, compress=compress)
+        resume_state = (_load_resume(rank_path, resume_sig)
+                        if resume else None)
         ev_dim = gm.dims[0]
         variables = [
             k for k in f.keys()
@@ -1529,7 +1556,9 @@ def stream_run(
         # fully written; the watermark attr is the LAST thing each
         # stripe's write job sets
         resume_sig = _resume_sig(
-            fn="stream_run", var=var, mhw_path=mhw_path,
+            fn="stream_run", var=var,
+            ts_path=os.path.abspath(ts_path),
+            grid_shape=list(g.grid_shape), mhw_path=mhw_path,
             block_path=block_path, rank_path=rank_path,
             return_path=return_path,
             climatologyPeriod=list(climatologyPeriod), pctile=pctile,

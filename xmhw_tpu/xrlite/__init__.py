@@ -2,6 +2,7 @@
 
 from .adapt import as_dataarray, as_dataset
 from .dataarray import Coord, DataArray, Dataset, unstack_cell
+from .export import to_dataframe, to_xarray
 from .netcdf import open_dataset, save_dataset
 from .timeutils import (
     TimeIndex,
@@ -24,5 +25,7 @@ __all__ = [
     "normalize_calendar",
     "open_dataset",
     "save_dataset",
+    "to_dataframe",
+    "to_xarray",
     "unstack_cell",
 ]

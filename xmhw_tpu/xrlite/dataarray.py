@@ -152,6 +152,19 @@ class DataArray:
             self.name,
         )
 
+    # -- exporters (reference users consume xarray/pandas downstream) --------
+    def to_xarray(self, decode_times=True):
+        """This array as an ``xarray.DataArray`` (requires xarray)."""
+        from .export import to_xarray
+
+        return to_xarray(self, decode_times=decode_times)
+
+    def to_dataframe(self):
+        """This array as a ``pandas.DataFrame`` (requires pandas)."""
+        from .export import to_dataframe
+
+        return to_dataframe(self)
+
     # -- arithmetic (used for coldSpells negation) ---------------------------
     def __neg__(self):
         return self.copy(data=-self.data)
@@ -455,6 +468,19 @@ class Dataset:
         from .netcdf import save_dataset
 
         save_dataset(self, path, **kwargs)
+
+    def to_xarray(self, decode_times=True):
+        """This dataset as an ``xarray.Dataset`` (requires xarray) — the
+        same object shape the reference returns (xmhw.py:210-214)."""
+        from .export import to_xarray
+
+        return to_xarray(self, decode_times=decode_times)
+
+    def to_dataframe(self):
+        """This dataset as a ``pandas.DataFrame`` (requires pandas)."""
+        from .export import to_dataframe
+
+        return to_dataframe(self)
 
 
 def grid_positions(cell_coords, out_name_dims):
