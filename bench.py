@@ -18,9 +18,10 @@ in the JSON line under detail.configs and traced on stderr:
                       the fused single-pass stream_run (one read + one
                       upload for all four stages) on the same file
   1 single_point      ~30-yr series through the public API (host incl.)
-  2 tasman_regional   50x50 grid, 30% land NaNs, skipna on/off, union
-                      assembly included (user-visible end-to-end),
-                      upload share reported separately
+  2 tasman_regional   50x50 grid, 30% land NaNs, union assembly
+                      included (user-visible end-to-end), upload share
+                      reported separately (skipna=True is vacuous by
+                      design — not separately benched)
   3 global_fused      device-resident fused kernel over all 152 blocks
                       (K-overflow asserted against raw counts)
   4 monthly_tstep     non-daily tstep path through the public API
@@ -28,10 +29,13 @@ in the JSON line under detail.configs and traced on stderr:
 
 Execution order differs from the numbering: global_fused runs first
 (secures the headline rate within minutes on a warm compile cache),
-global_streamed last (tunnel-bound, ~1 h at default scale; it resets
-the kernel peak-RSS watermark on entry so its RSS is its own). If the
-process is signalled or exceeds XMHW_BENCH_BUDGET_S (default 7200 s),
-the JSON line is emitted with every config measured so far.
+global_streamed last (tunnel-bound, ~6-7 min at the default scale; it
+resets the kernel peak-RSS watermark on entry so its RSS is its own,
+and it degrades to a smaller cached grid when the remaining budget is
+short). If the process is signalled or exceeds XMHW_BENCH_BUDGET_S
+(default 2400 s), the JSON line is emitted with every config measured
+so far. XMHW_BENCH_TRACE=dir additionally captures a jax.profiler
+trace of one warm fused step.
 
 For global_fused, synthetic data is generated on-device (seasonal cycle
 + AR-smoothed noise): the axon harness tunnel moves host<->device data
@@ -47,6 +51,16 @@ import time
 import numpy as np
 
 FAST = bool(os.environ.get("XMHW_BENCH_FAST"))
+
+# wall-clock deadline (set by main from XMHW_BENCH_BUDGET_S): configs
+# that can scale (global_streamed) size themselves to the REMAINING
+# budget instead of being killed mid-run by the harness timeout
+_DEADLINE = None
+
+
+def _remaining():
+    return (float("inf") if _DEADLINE is None
+            else _DEADLINE - time.monotonic())
 
 
 def log(msg):
@@ -213,6 +227,22 @@ def bench_global_fused():
     ramp = [step(staged[i % ngen]) for i in range(4)]
     _ = np.asarray(jnp.stack([d for d, _, _ in ramp]).sum(axis=0))
 
+    # XMHW_BENCH_TRACE=dir: capture a jax.profiler trace of ONE warm
+    # fused step (threshold+detect, all kernels) — the per-stage
+    # attribution evidence behind docs/design.md's measured table
+    trace_dir = os.environ.get("XMHW_BENCH_TRACE")
+    trace_note = None
+    if trace_dir:
+        try:
+            with jax.profiler.trace(trace_dir):
+                d, _, _ = step(staged[0])
+                _ = float(jnp.sum(d))  # force through the tunnel
+            trace_note = trace_dir
+            log(f"[bench] profiler trace captured to {trace_dir}")
+        except Exception as e:  # tunnel backends may not support it
+            trace_note = f"failed: {type(e).__name__}: {e}"
+            log(f"[bench] profiler trace failed: {e}")
+
     t0 = time.perf_counter()
     outs = [step(staged[i % ngen]) for i in range(n_blocks)]
     # one device-side reduction + two host fetches (D2H through the
@@ -251,6 +281,7 @@ def bench_global_fused():
         "global_oisst_8chip_s": round(GLOBAL_CELLS / (rate * 8), 1),
         "with_stats_rank_wall_s": round(dstats, 3),
         "with_stats_rank_cells_per_sec": round(cells / dstats, 1),
+        **({"profiler_trace": trace_note} if trace_note else {}),
     }, rate
 
 
@@ -338,15 +369,28 @@ def bench_global_streamed():
     stream_detect + stream_block_average + stream_rank on a synthetic
     global NetCDF on disk, through the real chip. Reports wall time per
     stage, peak host RSS, and the device-step share. Scale via
-    XMHW_BENCH_GLOBAL="NYxNXxYEARS" (default 360x480x40 ~ 10 GB input,
-    ~116k ocean cells; the 0.25-degree original is 720x1440x40 ~ 60 GB —
-    feasible on disk, but H2D through the axon tunnel dominates)."""
+    XMHW_BENCH_GLOBAL="NYxNXxYEARS" (default 180x240x40 ~ 2.5 GB input,
+    ~29k ocean cells — sized so the whole staged+fused suite fits a few
+    minutes at tunnel bandwidth; the 0.25-degree original is
+    720x1440x40 ~ 60 GB, measured once out-of-band -> FULLSCALE.json).
+    When the remaining XMHW_BENCH_BUDGET_S cannot fit the requested
+    scale, the config degrades to a smaller cached grid instead of
+    being killed mid-run (the r03 bench died here with SIGTERM)."""
     import xmhw_tpu as xm
 
     rss_own = _reset_peak_rss()  # runs last; measure its own peak
 
     spec = os.environ.get("XMHW_BENCH_GLOBAL",
-                          "24x48x3" if FAST else "360x480x40")
+                          "24x48x3" if FAST else "180x240x40")
+    # measured round 4: the default 2.5 GB spec runs ~6-7 min end to
+    # end (staged 4-stage + fused single pass). Degrade by remaining
+    # budget so the suite always emits a COMPLETE config set.
+    degraded = None
+    rem = _remaining()
+    if not FAST and rem < 600:
+        spec, degraded = "90x120x10", f"remaining budget {rem:.0f}s"
+    if not FAST and rem < 180:
+        spec, degraded = "24x48x3", f"remaining budget {rem:.0f}s"
     ny, nx, years = (int(x) for x in spec.split("x"))
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
@@ -453,6 +497,7 @@ def bench_global_streamed():
 
     return {
         "name": "global_streamed",
+        **({"degraded_scale": degraded} if degraded else {}),
         "grid": f"{ny}x{nx}x{years}y",
         "input_gb": round(os.path.getsize(src) / 1e9, 2),
         "ocean_cells": ocean,
@@ -546,24 +591,28 @@ def bench_regional(years=None):
     out["upload_s_per_block"] = round(time.perf_counter() - tu1, 3)
     out["upload_mb"] = round(comp.nbytes / 1e6, 1)
     del xdev
-    for skipna in (False, True):
-        key = "skipna_true" if skipna else "skipna_false"
-        rec = {}
-        clim = mhw = None
-        for phase in ("cold", "warm"):  # cold = remote compiles included
-            del clim, mhw  # return the grids to the allocation pool
-            t0 = time.perf_counter()
-            clim = xm.threshold(da, skipna=skipna)
-            t1 = time.perf_counter()
-            mhw = xm.detect(da, clim["thresh"], clim["seas"])
-            t2 = time.perf_counter()
-            rec[f"threshold_{phase}_s"] = round(t1 - t0, 3)
-            rec[f"detect_{phase}_s"] = round(t2 - t1, 3)
-            rec[f"end_to_end_{phase}_s"] = round(t2 - t0, 3)
-        rec["cells_per_sec"] = round(
-            ocean / rec["end_to_end_warm_s"], 1)
-        rec["events"] = int(np.isfinite(mhw["event"].data).sum())
-        out[key] = rec
+    # NOTE: no skipna=True variant — threshold(skipna=...) is vacuous
+    # here (NaNs never enter the percentile pool either way, matching
+    # the reference's effective window_roll-dropna semantics,
+    # api.py threshold docstring), so a separate skipna run measured
+    # only tunnel noise and burned budget (r03 weakness #5)
+    rec = {}
+    clim = mhw = None
+    for phase in ("cold", "warm"):  # cold = remote compiles included
+        del clim, mhw  # return the grids to the allocation pool
+        t0 = time.perf_counter()
+        clim = xm.threshold(da)
+        t1 = time.perf_counter()
+        mhw = xm.detect(da, clim["thresh"], clim["seas"])
+        t2 = time.perf_counter()
+        rec[f"threshold_{phase}_s"] = round(t1 - t0, 3)
+        rec[f"detect_{phase}_s"] = round(t2 - t1, 3)
+        rec[f"end_to_end_{phase}_s"] = round(t2 - t0, 3)
+    rec["cells_per_sec"] = round(ocean / rec["end_to_end_warm_s"], 1)
+    rec["events"] = int(np.isfinite(mhw["event"].data).sum())
+    rec["skipna_note"] = ("skipna=True is accepted-but-vacuous "
+                          "(see threshold docstring); not benched")
+    out["skipna_false"] = rec
     return out
 
 
@@ -713,9 +762,12 @@ def main():
             signal.signal(sig, _dump_and_exit)
         except (OSError, ValueError):
             pass
-    budget = int(os.environ.get("XMHW_BENCH_BUDGET_S", "7200"))
+    budget = int(os.environ.get("XMHW_BENCH_BUDGET_S", "2400"))
     if budget:
         signal.alarm(budget)
+        global _DEADLINE
+        # leave headroom for the final fetch/emit before the alarm
+        _DEADLINE = time.monotonic() + budget - 60
 
     # global_streamed runs LAST: it is the long tunnel-bound config,
     # and it resets the kernel peak-RSS watermark (VmHWM) on entry so

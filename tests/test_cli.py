@@ -41,6 +41,7 @@ def test_cli_staged_chain_matches_api(tmp_path, oisst_file):
             == int(np.isfinite(mhw["event"].data).sum()))
 
 
+@pytest.mark.slow
 def test_cli_run_fused_with_resume_flag(tmp_path, oisst_file):
     d = tmp_path
     assert main(["--f64", "run", oisst_file, "sst",

@@ -12,11 +12,15 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
-TOOL = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "tools", "multihost_dryrun.py")
+_TOOLS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools")
+TOOL = os.path.join(_TOOLS, "multihost_dryrun.py")
+STREAM_TOOL = os.path.join(_TOOLS, "multihost_stream.py")
 
 
+@pytest.mark.slow
 def test_two_process_distributed_dryrun():
     out = subprocess.run(
         [sys.executable, TOOL], capture_output=True, text=True,
@@ -26,6 +30,23 @@ def test_two_process_distributed_dryrun():
     assert out.returncode == 0, out.stdout + out.stderr
     assert "rank 0: OK" in out.stdout
     assert "rank 1: OK" in out.stdout
+    assert "PASS" in out.stdout
+
+
+@pytest.mark.slow
+def test_two_process_streamed_banded_run():
+    """File-to-file multi-host story: two jax.distributed processes
+    each stream_run their own latitude band; rank 0 merges the band
+    files and asserts BYTE-equality (every dataset + attrs) against a
+    single-process run, including the staged rank/return derivation
+    from the merged tables (tools/multihost_stream.py)."""
+    out = subprocess.run(
+        [sys.executable, STREAM_TOOL], capture_output=True, text=True,
+        timeout=900,
+        env={**os.environ, "XLA_FLAGS": ""},  # tool sets its own count
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "rank 0: OK" in out.stdout
     assert "PASS" in out.stdout
 
 

@@ -82,6 +82,7 @@ def test_run_bound_kernel():
         bwd_ref)
 
 
+@pytest.mark.slow
 def test_fused_detect_scans_kernel():
     """One-pass pallas detect-scan kernel == XLA engine (interpret)."""
     import jax.numpy as jnp
@@ -145,6 +146,7 @@ def test_doy_clim_batched_bit_equal(window_tables):
                 np.nan_to_num(np.asarray(b), nan=-9e9))
 
 
+@pytest.mark.slow
 def test_detect_scan_checkpoint_mode_matches_full():
     """sb-checkpoint kernel + XLA recombination == full-write kernel.
 
@@ -195,6 +197,7 @@ def test_detect_scan_checkpoint_mode_matches_full():
                                    err_msg=k)
 
 
+@pytest.mark.slow
 def test_pallas_rle_filter_matches_xla():
     """Streaming-RLE mhw_filter (interpret) == XLA cummax/cummin path,
     bit-for-bit, across random masks, quirk mode, and join settings."""

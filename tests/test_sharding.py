@@ -8,6 +8,7 @@ compiles and runs under jit with NamedSharding inputs.
 
 import jax
 import numpy as np
+import pytest
 
 import xmhw_tpu as xm
 from xmhw_tpu.parallel import cell_mesh, cell_sharding, pad_cells
@@ -92,6 +93,7 @@ def test_pallas_clim_under_shard_map():
     np.testing.assert_allclose(se_p, se_x, atol=1e-5, equal_nan=True)
 
 
+@pytest.mark.slow
 def test_run_fused_mesh_matches_single():
     """The fused single-pass engine (clim+detect+stats+rank) under the
     8-device mesh matches its single-device outputs — XLA branch
@@ -135,6 +137,7 @@ def test_run_fused_mesh_matches_single():
                                        err_msg=f"{part}/{k}")
 
 
+@pytest.mark.slow
 def test_run_fused_pallas_under_shard_map():
     """run_fused's Pallas clim+detect branches under the 8-device mesh
     (interpret mode) match the XLA single-device path."""
@@ -163,6 +166,7 @@ def test_run_fused_pallas_under_shard_map():
                                    rtol=2e-4, equal_nan=True, err_msg=v)
 
 
+@pytest.mark.slow
 def test_pallas_detect_under_shard_map():
     """The Pallas detect-scan path wrapped in shard_map over the 8-device
     mesh (interpret mode) matches the XLA path — exercises the exact

@@ -58,6 +58,7 @@ def test_stream_threshold_matches_api(grid_file, tmp_path, stripe):
                                   exp["thresh"].coords["lat"].values)
 
 
+@pytest.mark.slow
 def test_stream_detect_compact_matches_api(grid_file, tmp_path):
     path, sst = grid_file
     clim_out = str(tmp_path / "clim.nc")
@@ -82,6 +83,7 @@ def test_stream_detect_compact_matches_api(grid_file, tmp_path):
         np.testing.assert_array_equal(a[~np.isnat(a)], b[~np.isnat(b)])
 
 
+@pytest.mark.slow
 def test_stream_detect_union_matches_api(grid_file, tmp_path):
     path, sst = grid_file
     clim_out = str(tmp_path / "clim_u.nc")
@@ -144,6 +146,7 @@ def test_stream_detect_union_partial_stripe(grid_file, tmp_path):
                                    atol=1e-9, equal_nan=True)
 
 
+@pytest.mark.slow
 def test_stream_detect_cold_spells_flip(tmp_path):
     """stream_detect(coldSpells=True) applies the flip_cold sign
     convention exactly like api.detect (regression: flip was missing).
@@ -242,6 +245,7 @@ def test_stream_detect_maxpadlength_matches_api(grid_file, tmp_path):
                                    atol=1e-9, equal_nan=True)
 
 
+@pytest.mark.slow
 def test_stream_detect_intermediate_matches_api(grid_file, tmp_path):
     path, sst = grid_file
     clim_out = str(tmp_path / "clim_i.nc")
@@ -405,6 +409,7 @@ def test_stream_compressed_outputs_match(grid_file, tmp_path):
             and os.path.getsize(c1) < os.path.getsize(c0))
 
 
+@pytest.mark.slow
 def test_stream_run_compressed(grid_file, tmp_path):
     from xmhw_tpu.stream import stream_run
 

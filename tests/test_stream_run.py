@@ -107,7 +107,12 @@ CASES = {
 }
 
 
-@pytest.mark.parametrize("case", list(CASES))
+# the "default" case stays in the fast default suite; the option
+# matrix (each ~30 s: two full pipelines per case) runs under -m slow
+# (CI runs everything)
+@pytest.mark.parametrize(
+    "case", [c if c == "default" else
+             pytest.param(c, marks=pytest.mark.slow) for c in CASES])
 def test_stream_run_matches_staged(grid_file, tmp_path, case):
     kw = dict(CASES[case])
     exp = _staged(grid_file, tmp_path, **dict(kw))
@@ -188,6 +193,7 @@ def growth_file(tmp_path_factory):
     return str(path)
 
 
+@pytest.mark.slow
 def test_stream_detect_k_growth_resize(growth_file, tmp_path):
     """A later stripe with more events than the first must grow the ev
     axis on disk; the result must equal a single-stripe run (which
@@ -208,6 +214,7 @@ def test_stream_detect_k_growth_resize(growth_file, tmp_path):
     _assert_files_equal(got, exp)
 
 
+@pytest.mark.slow
 def test_stream_run_k_growth_resize(growth_file, tmp_path):
     """Same resize path through the fused pipeline incl. the streamed
     rank file and the read-back return file."""
@@ -227,6 +234,7 @@ def test_stream_run_k_growth_resize(growth_file, tmp_path):
         _assert_files_equal(got[part], exp[part])
 
 
+@pytest.mark.slow
 def test_stream_run_empty_first_stripe(grid_file, tmp_path):
     """An all-land leading stripe defers dataset creation; the
     fillvalue must cover it (no explicit write ever lands there)."""
@@ -260,6 +268,7 @@ def test_stream_run_empty_first_stripe(grid_file, tmp_path):
 
 # ---- resume: interrupted planet run picks up its clean prefix ----------
 
+@pytest.mark.slow
 def test_stream_run_resume_after_kill(grid_file, tmp_path):
     """Kill stream_run mid-run (hard exit during the 3rd fused stripe,
     like an OOM-kill or preemption), then resume=True: completed
@@ -417,6 +426,7 @@ print("RESUMED_OK")
     _assert_files_equal(out, exp)
 
 
+@pytest.mark.slow
 def test_stream_detect_resume_after_kill(grid_file, tmp_path):
     import os
 
@@ -453,6 +463,7 @@ print("RESUMED_OK")
     _assert_files_equal(out, exp)
 
 
+@pytest.mark.slow
 def test_stream_block_average_resume_after_kill(grid_file, tmp_path):
     import os
 
@@ -492,6 +503,7 @@ print("RESUMED_OK")
     _assert_files_equal(out, exp)
 
 
+@pytest.mark.slow
 def test_stream_rank_resume_after_kill(grid_file, tmp_path):
     import os
 

@@ -15,8 +15,9 @@ Public API (reference parity: README.rst:16-21):
 from .api import detect, flip_cold, land_check, threshold
 from .exception import XmhwException
 from .stats_api import block_average, mhw_rank
-from .stream import (stream_block_average, stream_detect,
-                     stream_rank, stream_run, stream_threshold)
+from .stream import (merge_grid_band_files, stream_block_average,
+                     stream_detect, stream_rank, stream_run,
+                     stream_threshold)
 from .xrlite import (DataArray, Dataset, TimeIndex, open_dataset,
                      save_dataset, to_dataframe, to_xarray)
 
@@ -31,6 +32,7 @@ __all__ = [
     "detect",
     "flip_cold",
     "land_check",
+    "merge_grid_band_files",
     "mhw_rank",
     "open_dataset",
     "save_dataset",

@@ -113,17 +113,129 @@ def build_parser():
     p.add_argument("mhw"), p.add_argument("rank")
     p.add_argument("--return-path", default=None)
     _common(p)
+
+    p = sub.add_parser(
+        "warmup",
+        help="pre-compile the standard kernels into the persistent "
+             "compile cache (first-call latency is compile time; every "
+             "later process with the same series length starts warm)")
+    p.add_argument("--days", type=int, default=None,
+                   help="series length in days (compiled programs are "
+                        "length-specific); default 40 years")
+    p.add_argument("--like", default=None, metavar="FILE",
+                   help="read the series length (and start date) from "
+                        "this NetCDF file's time axis")
+    p.add_argument("--tdim", default="time")
+    p.add_argument("--point", action="store_true",
+                   help="warm only the single-point programs (fast)")
+    p.add_argument("--cells", type=int, default=4096,
+                   help="grid cell-block size to warm (default 4096)")
+    p.add_argument("--k", type=int, nargs="*", default=[32, 64, 128],
+                   help="event-table capacities to warm")
     return ap
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache (XMHW_COMPILE_CACHE overrides the
+    path, '0' disables): first-call compiles are multi-second on TPU;
+    caching executables on disk makes every later process start warm."""
+    import os
+
+    path = os.environ.get("XMHW_COMPILE_CACHE",
+                          os.path.expanduser("~/.cache/jax_xmhw"))
+    if path in ("0", ""):
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+
+
+def _warmup(a, dtype):
+    """Run the standard program shapes once so their executables land in
+    the persistent compile cache (the TPU answer to the reference's
+    zero-compile pandas start: pay the compile once per machine, not
+    once per process)."""
+    import time
+
+    import numpy as np
+
+    import xmhw_tpu as xm
+    from xmhw_tpu.xrlite import Coord, DataArray
+
+    t0 = time.perf_counter()
+    start = np.datetime64("1982-01-01")
+    T = a.days
+    if a.like:
+        ds = xm.open_dataset(a.like)
+        tvals = np.asarray(ds[a.tdim].data)
+        T = len(tvals)
+        if np.issubdtype(tvals.dtype, np.datetime64):
+            start = tvals[0].astype("datetime64[D]")
+    T = T or int(round(40 * 365.25))
+    t = (start + np.arange(T)).astype("datetime64[ns]")
+    rng = np.random.default_rng(0)
+    day = np.arange(T, dtype=np.float32)
+
+    def series(n):
+        base = 15 + 3 * np.sin(2 * np.pi * day / 365.25)[:, None]
+        return (base + rng.normal(0, 1.5, (T, n))).astype(dtype)
+
+    # point programs: clim kernel (C=128 padded), detect at K=128
+    da = DataArray(series(1)[:, 0], ("time",),
+                   {"time": Coord(("time",), t)})
+    clim = xm.threshold(da)
+    xm.detect(da, clim["thresh"], clim["seas"])
+    print(f"warm: point programs (T={T}) in "
+          f"{time.perf_counter() - t0:.1f}s")
+    if a.point:
+        return
+    # grid programs: one cell block at the requested width, each K
+    ny = max(1, a.cells // 64)
+    g = series(ny * 64).reshape(T, ny, 64)
+    dag = DataArray(g, ("time", "lat", "lon"),
+                    {"time": Coord(("time",), t),
+                     "lat": Coord(("lat",), np.arange(ny, dtype=float)),
+                     "lon": Coord(("lon",), np.arange(64, dtype=float))})
+    t1 = time.perf_counter()
+    clim = xm.threshold(dag, cell_block=a.cells)
+    print(f"warm: grid climatology ({a.cells} cells) in "
+          f"{time.perf_counter() - t1:.1f}s")
+    from xmhw_tpu.core.pipeline import run_detect
+
+    doy_pos = np.zeros(T, np.int32)
+    from xmhw_tpu.core.calendar import compute_doy
+    from xmhw_tpu.xrlite import TimeIndex
+
+    doy, ndoy = compute_doy(TimeIndex(t))
+    doy_pos = (doy - 1).astype(np.int32)
+    th = np.asarray(clim["thresh"].data).reshape(ndoy, -1).astype(dtype)
+    se = np.asarray(clim["seas"].data).reshape(ndoy, -1).astype(dtype)
+    flat = g.reshape(T, -1).astype(dtype)
+    for k in a.k:
+        t2 = time.perf_counter()
+        run_detect(flat, th, se, doy_pos, min_duration=5, join_gaps=True,
+                   max_gap=2, block=a.cells, first_k=k, k_cap=k)
+        print(f"warm: grid detect K={k} in "
+              f"{time.perf_counter() - t2:.1f}s")
 
 
 def main(argv=None):
     import numpy as np
 
     a = build_parser().parse_args(argv)
+    _enable_compile_cache()
+    dtype = np.float64 if a.f64 else np.float32
+    if a.cmd == "warmup":
+        _warmup(a, dtype)
+        return 0
     from . import (stream_block_average, stream_detect, stream_rank,
                    stream_run, stream_threshold)
 
-    dtype = np.float64 if a.f64 else np.float32
     common = dict(stripe=a.stripe, compress=a.compress)
     if a.cmd == "run":
         out = stream_run(

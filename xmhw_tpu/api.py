@@ -356,6 +356,10 @@ def detect(
         data, th_data, se_data, doy_pos, min_duration=minDuration,
         join_gaps=joinGaps, max_gap=maxGap, intermediate=intermediate,
         block=cell_block, mesh=mesh, day0_fillna_quirk=reference_quirks,
+        # point mode: skip the counting pass (one whole program compile)
+        # and start at a capacity that covers ~50 years of typical MHW
+        # density; the raw-count overflow retry handles the rest
+        first_k=128 if point else None,
     )
 
     time_vals = tindex.values

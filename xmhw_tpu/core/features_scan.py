@@ -376,15 +376,35 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
                 anom_minus, day, is_start, (a_rs, a_rt, a_sv, a_ma),
                 pallas_sb, T)
         else:
+            # FOLD: the scan combine is an IDENTITY on non-event rows
+            # (every carrier's contribution from a day=False row is its
+            # neutral element), and after an event ends at row e the
+            # next segment reset is at least maxGap+2 rows away
+            # (non-joined events are separated by > maxGap non-event
+            # days; joinGaps=False still guarantees one). So state rows
+            # e .. e+fold-1 are BIT-IDENTICAL to row e for any
+            # fold <= maxGap+2 — the kernel only needs to write every
+            # fold-th state row ((Tp/fold, 31, C): 4x less HBM write at
+            # the defaults, the dominant cost of the detect step) and
+            # the boundary gather reads row e // fold of the folded
+            # array. This reuses the sb checkpoint machinery but needs
+            # NO recombination (the recombination is what made
+            # pallas_sb mode 8x slower).
+            window = (max_gap + 2) if join_gaps else 2
+            fold = 1
+            while fold * 2 <= min(window, 128):
+                fold *= 2
             S31 = fused_detect_scans(
                 ts, thresh_t, seas_t, anom_plus, anom_minus, day,
-                is_start, shifts, interpret=pallas_interpret)
+                is_start, shifts, interpret=pallas_interpret,
+                sb=fold if fold > 1 else 0)
             # the segmented-sum value at an event's end row IS the event
             # total, and the min/max/argmax channels plus their value
             # payloads ride the same array: ONE boundary gather serves
             # all 31 channels — no (T, C) series is ever gathered at
             # event positions on this path
-            G31 = jnp.take_along_axis(S31, end_pos[:, None, :], axis=0)
+            gpos = end_pos // fold if fold > 1 else end_pos
+            G31 = jnp.take_along_axis(S31, gpos[:, None, :], axis=0)
         R = lax.bitcast_convert_type(G31[:, :17, :], jnp.float32)
         pl_scan = G31[:, 17:, :]
     else:

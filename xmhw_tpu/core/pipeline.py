@@ -671,7 +671,7 @@ def _slice_rows(a, T):
 def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
                max_gap, intermediate=False, block=None, mesh=None,
                k_cap=None, day0_fillna_quirk=False, use_pallas=None,
-               pallas_interpret=False, k_min=None):
+               pallas_interpret=False, k_min=None, first_k=None):
     """Detection for all cells: returns (tables dict of (K, C) numpy,
     n_events (C,), inter dict of (T, C) numpy).
 
@@ -713,7 +713,11 @@ def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
 
     n_events = np.zeros(C, np.int32)
     dropped = 0
-    K = None
+    # first_k: start optimistically at this capacity WITHOUT the counting
+    # pass — the feature kernel's raw counts catch overflow and retry.
+    # Saves compiling + dispatching the whole counting program; used by
+    # the single-point path where one extra retry would be cheap anyway.
+    K = _cap(_round_k(int(first_k))) if first_k else None
     tables = None  # host outputs, written block-by-block (no buffering)
     inter_out = {}
     doy_pos = runner.device_replicated(doy_pos_np)

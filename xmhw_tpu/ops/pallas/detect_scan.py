@@ -254,11 +254,18 @@ def fused_detect_scans(ts, thresh_t, seas_t, anom_plus, anom_minus, day,
     never read and slicing them off here would only force XLA to copy
     the multi-GB buffer. See module docstring for channels.
 
-    ``sb`` > 0 (a divisor of TB): CHECKPOINT mode — returns
-    (Tp/sb, 31, C) holding only each sb-row sub-block's final scan
-    state. 16x less HBM write traffic; callers recombine the state at
-    arbitrary rows from the checkpoints + the raw series
-    (features_scan._ckpt_recombine).
+    ``sb`` > 0 (a divisor of TB): emit only each sb-row sub-block's
+    final scan state — (Tp/sb, 31, C), sb-times less HBM write traffic.
+    Two consumers:
+
+    * FOLD (default TPU path, features_scan.detect_kernel): with
+      sb <= maxGap+2 the state rows e..e+sb-1 after an event end e are
+      bit-identical (the combine is an identity on non-event rows and
+      the next reset is > maxGap rows away), so sub-block-final rows
+      can be gathered DIRECTLY at e // sb — no recombination.
+    * CHECKPOINT (``pallas_sb``, measured slower, kept as blueprint):
+      recombine the state at arbitrary rows from the checkpoints + the
+      raw series (features_scan._ckpt_recombine).
     """
     T, C = ts.shape
     assert C % LANES == 0

@@ -521,6 +521,8 @@ def rank_variable(values, axis=0):
     values = np.asarray(values, dtype=np.float64)
     values = np.moveaxis(values, axis, 0)
     n = values.shape[0]
+    if values.size == 0:  # zero events anywhere: nothing to rank
+        return np.moveaxis(values.copy(), 0, axis)
     flat = values.reshape(n, -1)
     fin = np.isfinite(flat)
     # one axis-wise argsort for ALL columns: NaNs sort to the end (as

@@ -1455,10 +1455,26 @@ def stream_run(
     reference_quirks=False,
     compress=None,
     resume=False,
+    grid_rows=None,
 ):
     """The SINGLE-PASS planet-scale pipeline: climatology + detection +
     year-block statistics + event ranks, file-to-file, reading and
     uploading every grid stripe exactly ONCE.
+
+    ``grid_rows=(lo, hi)``: process only this band of leading grid rows
+    (multi-host deployments give each process its own latitude band —
+    see tools/multihost_stream.py). Output files keep the FULL grid
+    shape with unprocessed rows left at the fill value, so N band files
+    merge by copying each band (:func:`merge_grid_band_files`).
+    Requires ``events_layout='compact'``. For bit-reproducibility
+    against a single-process run, align band edges to ``stripe``
+    multiples (misaligned bands change the per-stripe ocean-cell
+    compaction, hence the compiled block shapes, and XLA may
+    re-associate float32 reductions differently per shape). Note:
+    ``rank_path`` under a band uses the band-local event record span
+    for nYears — multi-host runs should pass ``rank_path=None`` and
+    derive ranks from the MERGED mhw file with :func:`stream_rank`
+    (nYears is a record-span global).
 
     ``resume=True`` picks up an interrupted run (compact layout only):
     the write-behind slot writes stripes strictly in order and records
@@ -1558,7 +1574,9 @@ def stream_run(
         resume_sig = _resume_sig(
             fn="stream_run", var=var,
             ts_path=os.path.abspath(ts_path),
-            grid_shape=list(g.grid_shape), mhw_path=mhw_path,
+            grid_shape=list(g.grid_shape),
+            grid_rows=list(grid_rows) if grid_rows else None,
+            mhw_path=mhw_path,
             block_path=block_path, rank_path=rank_path,
             return_path=return_path,
             climatologyPeriod=list(climatologyPeriod), pctile=pctile,
@@ -1694,8 +1712,19 @@ def stream_run(
                 ts_day = comp
             return comp_i, ts_day, keep_all, det_in_all
 
-        edges = [(lo, min(lo + rows, g.grid_shape[0]))
-                 for lo in range(0, g.grid_shape[0], rows)]
+        band_lo, band_hi = 0, g.grid_shape[0]
+        if grid_rows is not None:
+            band_lo, band_hi = int(grid_rows[0]), int(grid_rows[1])
+            if not (0 <= band_lo < band_hi <= g.grid_shape[0]):
+                raise XmhwException(
+                    f"grid_rows {grid_rows} outside the grid's "
+                    f"{g.grid_shape[0]} leading rows")
+            if events_layout == "union":
+                raise XmhwException(
+                    "grid_rows requires events_layout='compact' (the "
+                    "union event axis needs the whole grid)")
+        edges = [(lo, min(lo + rows, band_hi))
+                 for lo in range(band_lo, band_hi, rows)]
         all_edges = list(edges)  # return-file read-back covers every stripe
         edges = _filter_resumed(edges, resume_state)
 
@@ -1936,6 +1965,75 @@ def stream_run(
             out["rank"] = rank_path
             out["return"] = return_path
     return out
+
+
+def merge_grid_band_files(parts, out_path, band_dim):
+    """Merge N band outputs of ``stream_run(grid_rows=...)`` into one
+    full-grid file (the multi-host assembly step; each process runs its
+    own latitude band — tools/multihost_stream.py).
+
+    ``parts``: iterable of ``(path, lo, hi)`` — full-grid-shape files
+    whose rows [lo, hi) of ``band_dim`` were processed (other rows are
+    at the fill value). Event-axis ("ev") lengths may differ between
+    bands (K grows with the densest cell seen); the merged axis is the
+    maximum, shorter bands padding with the HDF5 fillvalue — exactly
+    run_fused's grown-table semantics, so the merged file is
+    byte-identical to a single-process run. Returns ``out_path``.
+    """
+    import shutil
+
+    import h5py
+
+    parts = sorted(((p, int(lo), int(hi)) for p, lo, hi in parts),
+                   key=lambda x: x[1])
+    shutil.copyfile(parts[0][0], out_path)
+
+    def _is_scale(node):
+        try:
+            return node.is_scale
+        except AttributeError:  # older h5py
+            return h5py.h5ds.is_scale(node.id)
+
+    def _axis_of(node, dim):
+        for i in range(node.ndim):
+            for k in range(len(node.dims[i])):
+                sc = node.dims[i][k]
+                if sc.name.rsplit("/", 1)[-1] == dim:
+                    return i
+        return None
+
+    with h5py.File(out_path, "r+") as out:
+        for path, lo, hi in parts[1:]:
+            with h5py.File(path, "r") as src:
+                if ("ev" in out and "ev" in src
+                        and src["ev"].shape[0] > out["ev"].shape[0]):
+                    E = src["ev"].shape[0]
+                    for name, node in out.items():
+                        if (not isinstance(node, h5py.Dataset)
+                                or _is_scale(node)):
+                            continue
+                        ax = _axis_of(node, "ev")
+                        if ax is not None and node.maxshape[ax] is None:
+                            sh = list(node.shape)
+                            sh[ax] = E
+                            node.resize(sh)
+                    out["ev"].resize((E,))
+                    out["ev"][...] = np.arange(E)
+                for name, node in src.items():
+                    if (not isinstance(node, h5py.Dataset)
+                            or _is_scale(node)):
+                        continue
+                    ax = _axis_of(node, band_dim)
+                    if ax is None:
+                        continue
+                    sel = [slice(None)] * node.ndim
+                    sel[ax] = slice(lo, hi)
+                    # shorter ev axes write only the source's rows; the
+                    # resize fill already padded the rest
+                    osel = [slice(0, s) for s in node.shape]
+                    osel[ax] = slice(lo, hi)
+                    out[name][tuple(osel)] = node[tuple(sel)]
+    return out_path
 
 
 def _write_return_file(return_path, rank_path, rank_names, g, nYears,
