@@ -43,6 +43,7 @@ at ~12 MB/s, which would measure the tunnel, not the framework — the
 streamed config 0 measures that full path deliberately.
 """
 
+import functools
 import json
 import os
 import sys
@@ -216,9 +217,19 @@ def bench_global_fused():
     # (random normal + 15-day smoothing, ~70 ms/block) is test harness,
     # not framework, so it stays OUTSIDE the timed region. 152 blocks of
     # (T, 4096) f32 would need ~36 GB HBM, hence the rotation.
+    #
+    # Timing model: the per-block dispatches are issued back-to-back
+    # and execute asynchronously, so the tunnel's per-dispatch floor is
+    # hidden behind the ~90 ms device step and the loop wall tracks
+    # device time (verified against jax.profiler device totals). A
+    # fori_loop+switch single-dispatch variant was tried and measured
+    # 2.8x SLOWER on-device (XLA copies the multi-GB scan buffers
+    # inside the while body) — batched dispatch loses to async
+    # dispatch here.
     ngen = min(4, n_blocks)
     keys = jax.random.split(jax.random.PRNGKey(0), ngen + 1)
     staged = [gen(k) for k in keys[:ngen]]
+
     # warmup: compile, then a few untimed steps — the first post-compile
     # executions run up to ~2x slow while the chip ramps clocks
     digest, nev, nmax = step(staged[-1])

@@ -368,7 +368,7 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
             # Kept (correct, tested) as the recombination blueprint for
             # a future in-kernel compaction; default stays 0.
             CK = fused_detect_scans(
-                ts, thresh_t, seas_t, anom_plus, anom_minus, day,
+                ts, thresh_t, seas_t, day,
                 is_start, shifts, interpret=pallas_interpret,
                 sb=pallas_sb)
             G31 = _ckpt_recombine(
@@ -395,7 +395,7 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
             while fold * 2 <= min(window, 128):
                 fold *= 2
             S31 = fused_detect_scans(
-                ts, thresh_t, seas_t, anom_plus, anom_minus, day,
+                ts, thresh_t, seas_t, day,
                 is_start, shifts, interpret=pallas_interpret,
                 sb=fold if fold > 1 else 0)
             # the segmented-sum value at an event's end row IS the event

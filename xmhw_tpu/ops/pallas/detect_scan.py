@@ -16,12 +16,13 @@ forward pass over time (VMEM carries across time blocks):
    output (float channels as bit patterns) so the downstream boundary
    gather is a single take_along_axis.
 
-The derived columns (relSeas, severity, ...) are recomputed in VMEM from
-the raw series — cheaper than reading them from HBM. The per-cell shift
-constants for the numerically safe single-pass variances are computed in
-XLA (tiny column reductions) and passed as a (4, C) input; the anom_plus/
-anom_minus day shifts are also prepared in XLA because a forward kernel
-cannot see the next block's first row.
+The derived columns (relSeas, severity, anom_plus/minus, ...) are
+recomputed in VMEM from the raw series — cheaper than reading them from
+HBM (the kernel is DMA-bound). The per-cell shift constants for the
+numerically safe single-pass variances are computed in XLA (tiny column
+reductions) and passed as a (4, C) input; the one value a forward
+kernel cannot see — the NEXT block's first anom row, needed by the -1
+day shift — arrives as a tiny (nb, C) input.
 
 Output channels (order matches core/features_scan.py exactly):
   0-16  segmented sums (float32 bit patterns)
@@ -60,9 +61,9 @@ def _shift_rows(x, d, neutral):
         [jnp.full(pad_shape, neutral, x.dtype), x[:-d]], axis=0)
 
 
-def _kernel(ts_ref, th_ref, se_ref, ap_ref, am_ref, day_ref, isst_ref,
+def _kernel(ts_ref, th_ref, se_ref, day_ref, isst_ref, anext_ref,
             shifts_ref, s_ref, pcarry, fcarry, icarry,
-            rcarry, *, T, sb=0):
+            rcarry, acarry, *, T, sb=0):
     j = pl.program_id(1)
     dtf = jnp.float32
     nan = jnp.float32(jnp.nan)
@@ -81,12 +82,26 @@ def _kernel(ts_ref, th_ref, se_ref, ap_ref, am_ref, day_ref, isst_ref,
         icarry[3:4, :] = jnp.full((1, LANES), bigi)
         icarry[4:5, :] = jnp.full((1, LANES), -1)
         rcarry[...] = jnp.zeros((1, LANES), jnp.int32)
+        acarry[...] = jnp.full((1, LANES), nan, dtf)
 
     ts = ts_ref[:]
     th = th_ref[:]
     se = se_ref[:]
-    anom_plus = ap_ref[:]
-    anom_minus = am_ref[:]
+    # anom_plus/minus = (ts - seas) shifted +-1 day (reference:
+    # features.py:44-46): derived IN KERNEL from the rows already in
+    # VMEM instead of reading two more (T, C) float32 inputs from HBM
+    # (the kernel is DMA-bound; this cuts its input traffic ~36%). The
+    # +1 shift's block-boundary row rides a (1, LANES) carry; the -1
+    # shift's comes from `anext` = next block's first anom row,
+    # precomputed in XLA from a (nb, C) strided slice (tiny).
+    anom = ts - se
+    anom_plus = jnp.concatenate([acarry[0:1, :], anom[:-1]], axis=0)
+    # anext holds ALL blocks' next-first-anom rows (tiny, (nb, LANES),
+    # fetched once per lane tile — Mosaic rejects (1, LANES) blocks);
+    # row j is this block's
+    arow = anext_ref[pl.ds(j, 1), :]
+    anom_minus = jnp.concatenate([anom[1:], arow], axis=0)
+    acarry[...] = anom[TB - 1:TB, :]
     day = day_ref[:] != 0
     is_start = isst_ref[:] != 0
     a_rs = shifts_ref[0:1, :]
@@ -192,12 +207,35 @@ def _kernel(ts_ref, th_ref, se_ref, ap_ref, am_ref, day_ref, isst_ref,
     neutrals = (jnp.float32(0.0),) * NP_ + (
         neg, jnp.int32(0), nan, nan, neg, neg, bigi, nan, jnp.int32(-1),
         nan, bigi, nan, jnp.int32(-1), nan, jnp.int32(0))
+
+    # Hillis-Steele, with EARLY EXTRACTION under sb: only every sb-th
+    # state row is emitted, and after the first log2(sb) rounds row r
+    # already holds comb(x[r-sb+1 .. r]) — so rows sb-1::sb are the
+    # per-group totals and the REMAINING rounds can run on the
+    # (TB/sb, LANES) extracted arrays (1/sb the combine work; the scan
+    # rounds are the kernel's compute bound). The extraction itself is
+    # static single-row slices + one axis-0 concat per state channel
+    # (Mosaic-safe; no strided slicing, no 3-D reshape).
     d = 1
-    while d < TB:
+    while d < min(sb or TB, TB):
         shifted = tuple(_shift_rows(x, d, n)
                         for x, n in zip(state, neutrals))
         state = comb(shifted, state)
         d *= 2
+    R = TB // sb if sb else TB
+    if sb:
+        def rows_of(x):
+            return jnp.concatenate(
+                [x[r * sb + sb - 1: r * sb + sb, :]
+                 for r in range(R)], axis=0)
+
+        state = tuple(rows_of(x) for x in state)
+        d = 1
+        while d < R:
+            shifted = tuple(_shift_rows(x, d, n)
+                            for x, n in zip(state, neutrals))
+            state = comb(shifted, state)
+            d *= 2
 
     carry_tuple = tuple(pcarry[i:i + 1, :] for i in range(NP_)) + (
         fcarry[0:1, :], icarry[0:1, :], fcarry[3:4, :], fcarry[4:5, :],
@@ -216,38 +254,26 @@ def _kernel(ts_ref, th_ref, se_ref, ap_ref, am_ref, day_ref, isst_ref,
                 + [bc(mv), bc(msv), bc(mct), mi, mff, mlf, mfa, mla,
                    bc(mvff), bc(mvlf), bc(mvfa), bc(mvla), bc(mprt),
                    bc(mpma)])
-    if sb:
-        # checkpoint mode: emit only each sub-block's FINAL state row
-        # (static slices + axis-0 concat — Mosaic-safe; no strided
-        # slicing, no 3-D reshape). The caller recombines in-XLA from
-        # the raw series (features_scan._ckpt_recombine), cutting the
-        # HBM write from (Tp, 31, C) to (Tp/sb, 31, C).
-        def rows_of(x):
-            return jnp.concatenate(
-                [x[r * sb + sb - 1: r * sb + sb, :]
-                 for r in range(TB // sb)], axis=0)
-
-        s_ref[:] = jnp.stack([rows_of(x) for x in channels], axis=1)
-    else:
-        s_ref[:] = jnp.stack(channels, axis=1)
+    s_ref[:] = jnp.stack(channels, axis=1)
 
     for i in range(NP_):
-        pcarry[i:i + 1, :] = msums[i][TB - 1:TB, :]
+        pcarry[i:i + 1, :] = msums[i][R - 1:R, :]
     for r, x in ((0, mv), (1, msv), (2, mct), (3, mprt), (4, mpma),
                  (5, mvff), (6, mvlf), (7, mvfa), (8, mvla)):
-        fcarry[r:r + 1, :] = x[TB - 1:TB, :]
+        fcarry[r:r + 1, :] = x[R - 1:R, :]
     for r, x in ((0, mi), (1, mff), (2, mlf), (3, mfa), (4, mla)):
-        icarry[r:r + 1, :] = x[TB - 1:TB, :]
-    rcarry[0:1, :] = mr[TB - 1:TB, :]
+        icarry[r:r + 1, :] = x[R - 1:R, :]
+    rcarry[0:1, :] = mr[R - 1:R, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "sb"))
-def fused_detect_scans(ts, thresh_t, seas_t, anom_plus, anom_minus, day,
+def fused_detect_scans(ts, thresh_t, seas_t, day,
                        is_start, shifts, interpret=False, sb=0):
     """One-pass segmented sums + segmented min/max scans. Series inputs
     (T, C) float32; day/is_start (T, C) bool-like; shifts (4, C) float32
     per-cell shift constants (relSeas, relThresh, severity, mabs order).
-    C % 128 == 0.
+    The anom_plus/anom_minus day-shifted series are derived in-kernel
+    (one carried row + a (nb, C) next-block-row input). C % 128 == 0.
 
     Returns S (Tp, 31, C) int32 where Tp >= T is T padded to a TB
     multiple — callers gather at row positions < T, so the pad rows are
@@ -279,13 +305,21 @@ def fused_detect_scans(ts, thresh_t, seas_t, anom_plus, anom_minus, day,
         return jnp.concatenate(
             [x, jnp.full((Tp - T, C), fill, x.dtype)], axis=0)
 
-    args = [padt(ts.astype(jnp.float32), jnp.nan),
+    tsf = padt(ts.astype(jnp.float32), jnp.nan)
+    sef = padt(seas_t.astype(jnp.float32), jnp.nan)
+    # next-block-first anom rows for the in-kernel -1 shift: rows
+    # TB, 2*TB, ... of (ts - seas), one NaN row appended for the last
+    # block (matches the XLA formulation's trailing-NaN semantics)
+    nxt = tsf[TB::TB] - sef[TB::TB]
+    anext = jnp.concatenate(
+        [nxt, jnp.full((nb - nxt.shape[0], C), jnp.nan, jnp.float32)],
+        axis=0)
+    args = [tsf,
             padt(thresh_t.astype(jnp.float32), jnp.nan),
-            padt(seas_t.astype(jnp.float32), jnp.nan),
-            padt(anom_plus.astype(jnp.float32), jnp.nan),
-            padt(anom_minus.astype(jnp.float32), jnp.nan),
+            sef,
             padt(day.astype(jnp.int8), 0),
             padt(is_start.astype(jnp.int8), 0),
+            anext,
             shifts.astype(jnp.float32)]
 
     kernel = functools.partial(_kernel, T=T, sb=sb)
@@ -295,8 +329,9 @@ def fused_detect_scans(ts, thresh_t, seas_t, anom_plus, anom_minus, day,
     S = pl.pallas_call(
         kernel,
         grid=(C // LANES, nb),
-        in_specs=[pl.BlockSpec((TB, LANES), tmap2)] * 7
-        + [pl.BlockSpec((4, LANES), lambda i, j: (0, i))],
+        in_specs=[pl.BlockSpec((TB, LANES), tmap2)] * 5
+        + [pl.BlockSpec((nb, LANES), lambda i, j: (0, i)),
+           pl.BlockSpec((4, LANES), lambda i, j: (0, i))],
         out_specs=pl.BlockSpec((out_rows, NT_, LANES), tmap3),
         out_shape=jax.ShapeDtypeStruct((nb * out_rows, NT_, C),
                                        jnp.int32),
@@ -305,6 +340,7 @@ def fused_detect_scans(ts, thresh_t, seas_t, anom_plus, anom_minus, day,
             pltpu.VMEM((9, LANES), jnp.float32),
             pltpu.VMEM((5, LANES), jnp.int32),
             pltpu.VMEM((1, LANES), jnp.int32),
+            pltpu.VMEM((1, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(*args)
