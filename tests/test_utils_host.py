@@ -108,6 +108,57 @@ def test_peak_rss_helpers():
         assert bench._peak_rss_gb() >= after
 
 
+def _vm_rss_mb():
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return None
+
+
+def test_arena_trim_releases_retained_pages():
+    """maybe_trim_arena returns the glibc arena's fragmented excess to
+    the OS (the full-scale RSS fix) without touching live allocations
+    or the mmap pool."""
+    from xmhw_tpu.xrlite import alloc
+
+    if alloc._libc is None or _vm_rss_mb() is None:
+        pytest.skip("needs glibc + /proc")
+    alloc.tune_malloc()  # force the no-trim retention policy
+    live = np.arange(1_000_000)  # a live allocation that must survive
+    # churn ~400 MB of odd-size malloc allocations (plain numpy, below
+    # the pool threshold path) so the arena retains them after free
+    churn = [np.empty(8_000_000 + 37_000 * i, np.uint8)
+             for i in range(50)]
+    for a in churn:
+        a[::4096] = 1  # touch so the pages are resident
+    before_free = _vm_rss_mb()
+    del churn
+    retained = _vm_rss_mb()
+    if retained < before_free - 150:
+        pytest.skip("allocator returned pages on free (no retention "
+                    "to trim on this libc)")
+    assert alloc.maybe_trim_arena(min_free=64 << 20)
+    after = _vm_rss_mb()
+    assert after < retained - 150, (before_free, retained, after)
+    assert (live == np.arange(1_000_000)).all()
+
+
+def test_arena_trim_threshold_guard():
+    """Below the bloat threshold the call is a no-op (steady small runs
+    never pay a trim)."""
+    from xmhw_tpu.xrlite import alloc
+
+    if alloc._libc is None:
+        pytest.skip("needs glibc")
+    if alloc.arena_free_bytes() < 0:
+        pytest.skip("mallinfo2 unavailable")
+    assert alloc.maybe_trim_arena(min_free=1 << 62) is False
+
+
 # ---- review-pass fixes: calendar/netcdf/dataarray edge cases -----------
 
 def test_window_ranges_rejects_duplicate_centers():

@@ -386,6 +386,15 @@ class _WriteBehind:
     def _run(self, fn):
         try:
             fn()
+            # stripe boundary: release fragmented glibc-arena excess
+            # (varying-size fetch/scratch buffers accumulate under
+            # tune_malloc's no-trim policy — ~50 GB over the 68 GB
+            # full-scale run). Guarded by a 2 GB bloat threshold and
+            # running HERE, the refault cost of re-touching the churn
+            # overlaps the next stripe's device step.
+            from .xrlite.alloc import maybe_trim_arena
+
+            maybe_trim_arena()
         except BaseException as e:  # noqa: BLE001 — re-raised below
             self._err = e
 

@@ -31,10 +31,15 @@ import weakref
 
 import numpy as np
 
+import os
+
 # plain numpy below this size — pooling isn't worth it
 _SMALL = 1 << 22
-# drop regions beyond this much cached memory (resident pages)
-_POOL_CAP = 24 << 30
+# drop regions beyond this much cached memory (resident pages);
+# overridable for small-RAM hosts (the streaming working set is ~3
+# stripes, so the default leaves generous headroom for size drift)
+_POOL_CAP = int(float(os.environ.get("XMHW_POOL_CAP_GB", "12"))
+                * (1 << 30))
 # reuse a cached region only if it wastes < 2x the request
 _WASTE = 2
 
@@ -132,6 +137,69 @@ def tune_malloc() -> None:
         _libc.mallopt(ctypes.c_int(-1), ctypes.c_int(1 << 30))  # M_TRIM_THRESHOLD
     except Exception:
         pass
+
+
+class _MallInfo2(ctypes.Structure):
+    """glibc ``mallinfo2`` (>= 2.33): all fields size_t."""
+
+    _fields_ = [(n, ctypes.c_size_t) for n in (
+        "arena", "ordblks", "smblks", "hblks", "hblkhd", "usmblks",
+        "fsmblks", "uordblks", "fordblks", "keepcost")]
+
+
+_trim_tick = 0
+_have_mallinfo2 = False
+if _libc is not None:
+    try:
+        _libc.mallinfo2.restype = _MallInfo2
+        _libc.mallinfo2()
+        _have_mallinfo2 = True
+    except (AttributeError, OSError):
+        pass
+
+
+def arena_free_bytes() -> int:
+    """Free (retained, reusable) bytes in the glibc malloc arena, or -1
+    when mallinfo2 is unavailable."""
+    if not _have_mallinfo2:
+        return -1
+    return int(_libc.mallinfo2().fordblks)
+
+
+def maybe_trim_arena(min_free: int = 2 << 30) -> bool:
+    """Release retained glibc-arena pages when bloat exceeds ``min_free``.
+
+    ``tune_malloc`` deliberately stops glibc from ever returning freed
+    pages (refaulting fresh pages costs ~0.15 GB/s on this class of
+    host), which is right for the cyclic per-stripe allocation pattern —
+    but allocation sizes that VARY across stripes (device-fetch buffers
+    scale with each stripe's event count, h5py scratch with its chunk
+    overlap) fragment the arena, and over a few hundred stripes the
+    retained free space grows unboundedly (measured ~50 GB peak RSS on
+    the 68 GB full-scale run against a ~3 GB working set).
+
+    ``malloc_trim(0)`` walks the free bins and ``MADV_DONTNEED``s whole
+    free pages — the POOL's mmap regions and all live allocations are
+    untouched, so the warm working set survives; only the fragmented
+    excess is dropped. Callers invoke this at stripe boundaries from the
+    write-behind slot, where the (small) refault cost of re-touching
+    the trimmed churn overlaps the next stripe's device step. The
+    ``min_free`` guard keeps the steady small-run path trim-free.
+    Returns True when a trim was issued."""
+    global _trim_tick
+    if _libc is None:
+        return False
+    free = arena_free_bytes()
+    if free >= 0 and free < min_free:
+        return False
+    _trim_tick += 1
+    if free < 0 and _trim_tick % 8:  # no mallinfo2: trim at a coarse
+        return False                 # cadence instead of blindly
+    try:
+        _libc.malloc_trim(ctypes.c_size_t(0))
+        return True
+    except Exception:
+        return False
 
 
 def alloc_empty(shape, dtype) -> np.ndarray:
