@@ -388,7 +388,15 @@ def bench_global_streamed():
     scale, the config degrades to a smaller cached grid instead of
     being killed mid-run (the r03 bench died here with SIGTERM)."""
     import xmhw_tpu as xm
+    from xmhw_tpu.xrlite.alloc import maybe_trim_arena
 
+    # release pages RETAINED (freed but resident) by earlier configs /
+    # in-process file generation before resetting the watermark —
+    # otherwise the "peak" of this config starts at the inflated
+    # current RSS and reports their leftovers as ours (measured: the
+    # fused pass alone peaks at 5.3 GB on the 2.8 GB input, while the
+    # un-trimmed bench attributed 18.9 GB to it)
+    maybe_trim_arena(min_free=0)
     rss_own = _reset_peak_rss()  # runs last; measure its own peak
 
     spec = os.environ.get("XMHW_BENCH_GLOBAL",
@@ -413,6 +421,10 @@ def bench_global_streamed():
         log(f"[bench] generated {src} ({os.path.getsize(src) / 1e9:.1f} "
             f"GB, {ocean} ocean cells) in "
             f"{time.perf_counter() - tgen0:.1f}s")
+        # generation churns ~6 GB of arena temporaries; drop them so
+        # the streamed run's RSS numbers are its own
+        maybe_trim_arena(min_free=0)
+        _reset_peak_rss()
     clim_out = os.path.join(cache, "global_clim.nc")
     mhw_out = os.path.join(cache, "global_mhw.nc")
     blk_out = os.path.join(cache, "global_block.nc")
@@ -471,6 +483,7 @@ def bench_global_streamed():
     fus_t = {"s": 0.0}
     orig_fused = _pl.run_fused
     _pl.run_fused = _timed(orig_fused, fus_t)
+    maybe_trim_arena(min_free=0)  # drop the staged run's retained churn
     rss_own &= _reset_peak_rss()  # the fused pass's own host peak
     f_clim = os.path.join(cache, "f_clim.nc")
     f_mhw = os.path.join(cache, "f_mhw.nc")

@@ -87,6 +87,15 @@ def main():
 
     import xmhw_tpu as xm
     from xmhw_tpu.core import pipeline as _pl
+    from bench import _peak_rss_gb, _reset_peak_rss
+    from xmhw_tpu.xrlite.alloc import maybe_trim_arena
+
+    # measure the RUN's own peak: drop pages retained by in-process
+    # file generation (freed but resident under the no-trim arena
+    # policy) and restart the kernel watermark; fall back to process
+    # ru_maxrss only where VmHWM reset is unsupported
+    maybe_trim_arena(min_free=0)
+    hwm_own = _reset_peak_rss()
 
     dev_t = {"s": 0.0}
     orig = _pl.run_fused
@@ -119,7 +128,8 @@ def main():
         K = f["event"].shape[0]
     out_gb = sum(os.path.getsize(p) for p in paths.values()
                  if os.path.exists(p)) / 1e9
-    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    rss_gb = (_peak_rss_gb() if hwm_own else
+              resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6)
     wall = t2 - t1
     rec = {
         "config": "fullscale_fused_single_pass",

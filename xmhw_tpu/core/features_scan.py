@@ -307,24 +307,40 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
 
     TBK = 128
     nbk = -(-T // TBK)
-    if nbk * TBK != T:  # pad rows repeat the final count: never < target
-        cpad = jnp.concatenate(
-            [cumstart,
-             jnp.broadcast_to(cumstart[-1:], (nbk * TBK - T, C))], axis=0)
+    # ev_end rides the SAME block gather as the start counter: the start
+    # row of event k is a day row, so ev_end at that row is the event's
+    # end — selecting it from the gathered block by the already-computed
+    # within-offset replaces a separate (K, C)-indexed gather from the
+    # (T, C) array (measured ~8 ms / 4096 cells: XLA lowers the 2-D
+    # per-lane take_along_axis at ~0.25 GB/s, it is INDEX-bound) with
+    # one compare+sum over rows already in registers.
+    evd = jnp.where(day, f["ev_end"], 0)
+    stacked = jnp.stack([cumstart, evd], axis=1)  # (T, 2, C)
+    if nbk * TBK != T:  # pad rows repeat the final row: counter never
+        # drops below target, and pad ev_end rows are only read for
+        # invalid (masked) events
+        spad = jnp.concatenate(
+            [stacked,
+             jnp.broadcast_to(stacked[-1:], (nbk * TBK - T, 2, C))],
+            axis=0)
     else:
-        cpad = cumstart
-    blocks = cpad.reshape(nbk, TBK, C)
-    blk_final = blocks[:, TBK - 1, :]  # (nbk, C)
+        spad = stacked
+    blocks = spad.reshape(nbk, TBK, 2, C)
+    blk_final = blocks[:, TBK - 1, 0, :]  # (nbk, C)
     bk = jnp.sum((blk_final[:, None, :] < target[None, :, :])
                  .astype(_I32), axis=0)  # (K, C) block holding event k
     blk = jnp.take_along_axis(
-        blocks, jnp.clip(bk, 0, nbk - 1)[:, None, :], axis=0)  # (K,TBK,C)
-    within = jnp.sum((blk < target[:, None, :]).astype(_I32), axis=1)
+        blocks, jnp.clip(bk, 0, nbk - 1)[:, None, None, :],
+        axis=0)  # (K, TBK, 2, C)
+    within = jnp.sum((blk[:, :, 0, :] < target[:, None, :]).astype(_I32),
+                     axis=1)
     start_pos = jnp.minimum(bk * TBK + within, T - 1)
     valid = (lax.broadcasted_iota(_I32, (K, C), 0) < n_valid[None, :])
     start = jnp.where(valid, start_pos, 0)
-    end_pos = jnp.take_along_axis(
-        jnp.where(day, f["ev_end"], 0), start, axis=0)
+    woff = jnp.clip(within, 0, TBK - 1)[:, None, :]
+    end_pos = jnp.sum(
+        jnp.where(lax.broadcasted_iota(_I32, (K, TBK, C), 1) == woff,
+                  blk[:, :, 1, :], 0), axis=1)
     end_pos = jnp.clip(end_pos, 0, T - 1)
     end = jnp.where(valid, end_pos, 0)
     endp1 = end + 1
