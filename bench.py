@@ -51,6 +51,12 @@ import time
 
 import numpy as np
 
+# must precede the first device use (the axon client reads it at init):
+# compact the tunnel client's H2D replay journal so host RSS stays at
+# the working set instead of retaining every upload (see
+# xmhw_tpu/__init__.py for the full story + measurements)
+os.environ.setdefault("AXON_JOURNAL_COMPACT", "1")
+
 FAST = bool(os.environ.get("XMHW_BENCH_FAST"))
 
 # wall-clock deadline (set by main from XMHW_BENCH_BUDGET_S): configs

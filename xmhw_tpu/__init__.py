@@ -12,6 +12,23 @@ Public API (reference parity: README.rst:16-21):
     mhw_rank()       per-property ranks and return periods
 """
 
+import os as _os
+
+# Tunnel-client host-memory guard (harmless elsewhere): the axon PJRT
+# client journals every H2D transfer's bytes host-side so it can replay
+# the session if the tunnel connection drops. On streamed pipelines that
+# upload the whole dataset once per stripe, the journal retains a copy
+# of EVERY upload — measured ~171 MB resident per 180 MB device_put,
+# surviving buffer deletion (live_buffers()==0), ~43 GB over a 68 GB
+# planet-scale run. AXON_JOURNAL_COMPACT=1 (read at client init, so it
+# must be set before the first device use) lets the client compact the
+# journal down to executable ops: host RSS stays flat at the working
+# set. The trade: a dropped tunnel can no longer be transparently
+# replayed — the call fails and must be retried, which the streamed
+# functions already handle durably via resume=True. Export
+# AXON_JOURNAL_COMPACT=0 before import to keep transparent replay.
+_os.environ.setdefault("AXON_JOURNAL_COMPACT", "1")
+
 from .api import detect, flip_cold, land_check, threshold
 from .exception import XmhwException
 from .stats_api import block_average, mhw_rank
