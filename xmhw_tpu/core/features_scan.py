@@ -328,19 +328,21 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     blocks = spad.reshape(nbk, TBK, 2, C)
     blk_final = blocks[:, TBK - 1, 0, :]  # (nbk, C)
     bk = jnp.sum((blk_final[:, None, :] < target[None, :, :])
-                 .astype(_I32), axis=0)  # (K, C) block holding event k
+                 .astype(_I32), axis=0,
+                 dtype=_I32)  # (K, C) block holding event k
     blk = jnp.take_along_axis(
         blocks, jnp.clip(bk, 0, nbk - 1)[:, None, None, :],
         axis=0)  # (K, TBK, 2, C)
     within = jnp.sum((blk[:, :, 0, :] < target[:, None, :]).astype(_I32),
-                     axis=1)
+                     axis=1, dtype=_I32)
     start_pos = jnp.minimum(bk * TBK + within, T - 1)
     valid = (lax.broadcasted_iota(_I32, (K, C), 0) < n_valid[None, :])
     start = jnp.where(valid, start_pos, 0)
     woff = jnp.clip(within, 0, TBK - 1)[:, None, :]
     end_pos = jnp.sum(
         jnp.where(lax.broadcasted_iota(_I32, (K, TBK, C), 1) == woff,
-                  blk[:, :, 1, :], 0), axis=1)
+                  blk[:, :, 1, :], 0), axis=1,
+        dtype=_I32)  # pin: x64 would promote to int64
     end_pos = jnp.clip(end_pos, 0, T - 1)
     end = jnp.where(valid, end_pos, 0)
     endp1 = end + 1
@@ -418,9 +420,34 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
             # total, and the min/max/argmax channels plus their value
             # payloads ride the same array: ONE boundary gather serves
             # all 31 channels — no (T, C) series is ever gathered at
-            # event positions on this path
+            # event positions on this path.
+            #
+            # GROUPED FETCH: XLA's TPU gather emitter is index-bound on
+            # per-(k,c) fetches of NT C-strided words (~19.3 ms/block,
+            # ~3.3 GB/s effective); fetching GRP=2 whole folded rows per
+            # index — a flat 256 B contiguous run in the (rows/GRP,
+            # GRP*32, C) pure view — rides its fast slice path instead
+            # (~8.5 ms measured) and one in-register compare+sum picks
+            # the right row. Requires the 32-channel (power-of-two)
+            # kernel output; any (K, C)-indexed gather costs a ~7-8 ms
+            # index floor, so counting gathers are not split further.
             gpos = end_pos // fold if fold > 1 else end_pos
-            G31 = jnp.take_along_axis(S31, gpos[:, None, :], axis=0)
+            nrows, NTK = S31.shape[0], S31.shape[1]
+            GRP = 2
+            if nrows % GRP == 0:
+                Y = S31.reshape(nrows // GRP, GRP * NTK, C)
+                G = jnp.take_along_axis(
+                    Y, (gpos // GRP)[:, None, :], axis=0)
+                Gr = G.reshape(K, GRP, NTK, C)
+                G31 = jnp.sum(
+                    jnp.where(
+                        lax.broadcasted_iota(
+                            jnp.int32, (K, GRP, 1, C), 1)
+                        == (gpos % GRP)[:, None, None, :], Gr, 0),
+                    axis=1, dtype=jnp.int32)  # keep bit patterns
+                # 32-bit under x64 (sum would promote to int64)
+            else:
+                G31 = jnp.take_along_axis(S31, gpos[:, None, :], axis=0)
         R = lax.bitcast_convert_type(G31[:, :17, :], jnp.float32)
         pl_scan = G31[:, 17:, :]
     else:

@@ -51,7 +51,13 @@ TB = 128
 NP_ = 17  # segmented-sum channels
 NS_ = 8   # segmented min/max/argmax channels
 NV_ = 6   # value-payload channels
-NT_ = NP_ + NS_ + NV_  # total output channels
+# +1: the reset carrier rides along as channel 31 so the channel count
+# is 32 — callers can then view the (rows, 32, C) output as
+# (rows/GRP, GRP*32, C) with a PURE reshape and fetch GRP rows per
+# boundary-gather index (XLA's gather emitter runs ~2.3x faster on
+# flat >=256 B contiguous fetches than on 31 C-strided words; measured
+# 8.5 vs 19.3 ms per 4096-cell block, see features_scan.detect_kernel)
+NT_ = NP_ + NS_ + NV_ + 1  # total output channels (32)
 
 
 def _shift_rows(x, d, neutral):
@@ -253,7 +259,7 @@ def _kernel(ts_ref, th_ref, se_ref, day_ref, isst_ref, anext_ref,
     channels = ([bc(x) for x in msums]
                 + [bc(mv), bc(msv), bc(mct), mi, mff, mlf, mfa, mla,
                    bc(mvff), bc(mvlf), bc(mvfa), bc(mvla), bc(mprt),
-                   bc(mpma)])
+                   bc(mpma), mr])  # int32 reset carrier pads to 32 (NT_)
     s_ref[:] = jnp.stack(channels, axis=1)
 
     for i in range(NP_):
@@ -275,13 +281,16 @@ def fused_detect_scans(ts, thresh_t, seas_t, day,
     The anom_plus/anom_minus day-shifted series are derived in-kernel
     (one carried row + a (nb, C) next-block-row input). C % 128 == 0.
 
-    Returns S (Tp, 31, C) int32 where Tp >= T is T padded to a TB
+    Returns S (Tp, 32, C) int32 where Tp >= T is T padded to a TB
     multiple — callers gather at row positions < T, so the pad rows are
     never read and slicing them off here would only force XLA to copy
-    the multi-GB buffer. See module docstring for channels.
+    the multi-GB buffer. Channels 0..30 per the module docstring;
+    channel 31 is the int32 reset carrier, emitted so the channel count
+    is a power of two (the caller's grouped boundary gather needs a
+    pure-view reshape; see NT_).
 
     ``sb`` > 0 (a divisor of TB): emit only each sb-row sub-block's
-    final scan state — (Tp/sb, 31, C), sb-times less HBM write traffic.
+    final scan state — (Tp/sb, 32, C), sb-times less HBM write traffic.
     Two consumers:
 
     * FOLD (default TPU path, features_scan.detect_kernel): with
