@@ -8,8 +8,9 @@ of a 620k-ocean-cell x 40-year grid is actually executed on the chip
 driver-set north star: global 0.25-degree OISST in <60 s on a v5e-8,
 i.e. 620000/60/8 ~= 1292 cells/s/chip = 1.0.
 
-The full config suite (BASELINE.md "configs to implement") is embedded
-in the JSON line under detail.configs and traced on stderr:
+The final stdout line is SHORT (metric/value/unit/vs_baseline only);
+the full config suite (BASELINE.md "configs to implement") is written
+to BENCH_DETAIL.json and traced on stderr:
 
   0 global_streamed   MEASURED file-to-file planet-scale pipeline:
                       stream_threshold/detect/block_average/rank on a
@@ -295,7 +296,11 @@ def bench_global_fused():
         "K": K,
         "warmup_events": warm_events,
         "global_oisst_1chip_s": round(GLOBAL_CELLS / rate, 1),
-        "global_oisst_8chip_s": round(GLOBAL_CELLS / (rate * 8), 1),
+        # projection, not a measurement: derived as 1-chip rate / 8 —
+        # this harness has no multi-chip hardware (the sharded path is
+        # validated functionally by the driver's 8-device CPU dryrun)
+        "projected_global_oisst_8chip_s": round(
+            GLOBAL_CELLS / (rate * 8), 1),
         "with_stats_rank_wall_s": round(dstats, 3),
         "with_stats_rank_cells_per_sec": round(cells / dstats, 1),
         **({"profiler_trace": trace_note} if trace_note else {}),
@@ -559,7 +564,12 @@ def bench_global_streamed():
 
 
 def bench_point():
-    """Config 1: single point, ~30-yr daily series, public API."""
+    """Config 1: single point, ~30-yr daily series, public API.
+
+    Since round 5 points run on the host numpy engine (core/point.py) —
+    no device, no compilation: cold ~50 ms vs 23.3 s in round 4 (and vs
+    the reference's multi-second pandas point mode). XMHW_POINT_HOST=0
+    restores the device path."""
     import xmhw_tpu as xm
 
     t = np.arange("1992-01-01", "2022-01-01",
@@ -764,12 +774,25 @@ def main():
     def _emit():
         baseline_rate = 620000 / 60 / 8  # cells/s/chip, <60s target
         rate = state["rate"] or 0.0
+        # The full config detail goes to its OWN file + a stderr line.
+        # The final stdout line stays <200 bytes: in round 4 the nested
+        # detail outgrew the driver's tail window and the headline was
+        # recorded as unparseable (rc=0, parsed: null).
+        detail = {"configs": configs}
+        try:
+            path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_DETAIL.json")
+            with open(path, "w") as f:
+                json.dump(detail, f, indent=1)
+        except OSError as e:
+            log(f"[bench] BENCH_DETAIL.json write failed: {e}")
+        log("[bench] detail: " + json.dumps(detail))
         print(json.dumps({
             "metric": "threshold_detect_cells_per_sec_per_chip",
             "value": round(rate, 1),
             "unit": "cells/s",
             "vs_baseline": round(rate / baseline_rate, 2),
-            "detail": {"configs": configs},
         }), flush=True)
 
     # If the harness stops the suite mid-run (the streamed config alone

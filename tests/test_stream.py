@@ -430,3 +430,107 @@ def test_stream_run_compressed(grid_file, tmp_path):
         np.testing.assert_array_equal(a["event"][()], b["event"][()])
     with h5py.File(out["block"]) as f:
         assert f["ecount"].compression == "gzip"
+
+
+@pytest.fixture(scope="module")
+def packed_grid_file(tmp_path_factory):
+    """CF-packed int16 OISST-style file (scale_factor/add_offset +
+    integer _FillValue/missing_value) plus the decoded DataArray.
+
+    Real OISST v2/v2.1 products ship SST exactly like this; the
+    reference gets decoding for free from xarray (reference:
+    requirements.txt:5-8, docs/gettingstarted.rst:40-64). The streamed
+    GridReader must apply the same decode."""
+    import h5py
+
+    rng = np.random.default_rng(7)
+    t = np.arange("2000-01-01", "2003-01-01",
+                  dtype="datetime64[D]").astype("datetime64[ns]")
+    T = len(t)
+    ny, nx = 10, 6
+    day = np.arange(T)[:, None, None]
+    sst = (15 + 3 * np.sin(2 * np.pi * day / 365.25)
+           + rng.normal(0, 2.2, (T, ny, nx)))
+    sst[:, 0, 0] = np.nan          # land -> fill value
+    sst[:, 4, 2] = np.nan
+    sst[50:53, 2, 2] = np.nan      # short gap -> missing_value
+    sf, ao, fill, miss = 0.01, 10.0, np.int16(-999), np.int16(-32768)
+    packed = np.where(np.isnan(sst), fill.astype(np.float64),
+                      np.round((sst - ao) / sf)).astype(np.int16)
+    packed[50:53, 2, 2] = miss     # exercise missing_value too
+    decoded = packed.astype(np.float64) * sf + ao
+    decoded[(packed == fill) | (packed == miss)] = np.nan
+
+    path = str(tmp_path_factory.mktemp("packed") / "sst_packed.nc")
+    epoch = np.datetime64("2000-01-01", "ns")
+    tdays = ((t - epoch) / np.timedelta64(1, "D")).astype(np.float64)
+    with h5py.File(path, "w") as f:
+        tn = f.create_dataset("time", data=tdays)
+        tn.attrs["units"] = "days since 2000-01-01 00:00:00"
+        tn.attrs["calendar"] = "standard"
+        tn.make_scale("time")
+        yn = f.create_dataset("lat", data=np.linspace(-40, -31, ny))
+        yn.make_scale("lat")
+        xn = f.create_dataset("lon", data=np.linspace(140, 145, nx))
+        xn.make_scale("lon")
+        v = f.create_dataset("sst", data=packed, dtype="i2")
+        v.attrs["scale_factor"] = np.float64(sf)
+        v.attrs["add_offset"] = np.float64(ao)
+        v.attrs["_FillValue"] = fill
+        v.attrs["missing_value"] = miss
+        v.attrs["units"] = "degree_C"
+        for d, s in zip(v.dims, (tn, yn, xn)):
+            d.attach_scale(s)
+
+    da = DataArray(
+        decoded, ("time", "lat", "lon"),
+        {"time": Coord(("time",), t),
+         "lat": Coord(("lat",), np.linspace(-40, -31, ny)),
+         "lon": Coord(("lon",), np.linspace(140, 145, nx))},
+        {"units": "degree_C"})
+    return path, da, decoded
+
+
+def test_gridreader_decodes_cf_packing(packed_grid_file):
+    from xmhw_tpu.stream import GridReader
+
+    path, _, decoded = packed_grid_file
+    with GridReader(path, "sst") as g:
+        # packing attrs are consumed by the decode, units survive
+        for k in ("scale_factor", "add_offset", "_FillValue",
+                  "missing_value"):
+            assert k not in g.attrs
+        assert str(g.attrs["units"]) == "degree_C"
+        got = g.read(2, 7)
+        assert np.issubdtype(got.dtype, np.floating)
+        np.testing.assert_allclose(
+            got, decoded[:, 2:7].reshape(decoded.shape[0], -1),
+            atol=1e-12, equal_nan=True)
+
+
+def test_stream_threshold_packed_matches_api(packed_grid_file, tmp_path):
+    path, da, _ = packed_grid_file
+    out = str(tmp_path / "clim_packed.nc")
+    stream_threshold(path, "sst", out, dtype=np.float64, stripe=4)
+    got = xm.open_dataset(out)
+    exp = xm.threshold(da, dtype=np.float64)
+    for v in ("thresh", "seas"):
+        np.testing.assert_allclose(got[v].data, exp[v].data,
+                                   atol=1e-12, equal_nan=True)
+
+
+def test_stream_detect_packed_matches_api(packed_grid_file, tmp_path):
+    path, da, _ = packed_grid_file
+    clim_out = str(tmp_path / "clim.nc")
+    stream_threshold(path, "sst", clim_out, dtype=np.float64)
+    mhw_out = str(tmp_path / "mhw.nc")
+    stream_detect(path, "sst", clim_out, mhw_out, dtype=np.float64,
+                  stripe=4, events_layout="compact")
+    got = xm.open_dataset(mhw_out)
+    clim = xm.threshold(da, dtype=np.float64)
+    exp = xm.detect(da, clim["thresh"], clim["seas"], dtype=np.float64,
+                    events_layout="compact")
+    kmax = exp["event"].sizes["ev"]
+    for v in ("event", "duration", "intensity_max", "rate_onset"):
+        np.testing.assert_allclose(got[v].data[:kmax], exp[v].data,
+                                   atol=1e-9, equal_nan=True)

@@ -29,6 +29,40 @@ import os as _os
 # AXON_JOURNAL_COMPACT=0 before import to keep transparent replay.
 _os.environ.setdefault("AXON_JOURNAL_COMPACT", "1")
 
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache for EVERY process importing the
+    package (XMHW_COMPILE_CACHE overrides the path, '0' disables).
+
+    First-call latency is compile time — multi-second remote compiles on
+    the TPU tunnel. Caching executables on disk is the TPU-native answer
+    to the reference's zero-compile pandas start: pay the compile once
+    per machine (or pre-seed with ``xmhw-tpu warmup``), not once per
+    process. Accelerator backends only: XLA:CPU cache entries are AOT
+    results pinned to the exact compile-machine ISA feature set — on
+    this harness loading one warns "could lead to execution errors such
+    as SIGILL" and recompiles anyway (measured: 230 s to seed, zero
+    speedup). Config-only (no backend is initialized here)."""
+    path = _os.environ.get("XMHW_COMPILE_CACHE",
+                           _os.path.expanduser("~/.cache/jax_xmhw"))
+    if path in ("0", ""):
+        return
+    if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return  # CPU-only process (e.g. the test suite): see above
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+        jax.config.update("jax_persistent_cache_enable_xla_caches",
+                          "none")  # kernel cache only, no AOT blobs
+    except Exception:  # pragma: no cover - very old jaxlib
+        pass
+
+
+_enable_compile_cache()
+
 from .api import detect, flip_cold, land_check, threshold
 from .exception import XmhwException
 from .stats_api import block_average, mhw_rank

@@ -136,23 +136,12 @@ def build_parser():
 
 
 def _enable_compile_cache():
-    """Persistent XLA compile cache (XMHW_COMPILE_CACHE overrides the
-    path, '0' disables): first-call compiles are multi-second on TPU;
-    caching executables on disk makes every later process start warm."""
-    import os
+    """Persistent XLA compile cache — now enabled for every process at
+    package import (xmhw_tpu.__init__._enable_compile_cache); kept as a
+    shim for older scripts importing it from here."""
+    from . import _enable_compile_cache as _impl
 
-    path = os.environ.get("XMHW_COMPILE_CACHE",
-                          os.path.expanduser("~/.cache/jax_xmhw"))
-    if path in ("0", ""):
-        return
-    try:
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
-    except Exception:
-        pass
+    _impl()
 
 
 def _warmup(a, dtype):

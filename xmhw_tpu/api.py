@@ -10,11 +10,15 @@ blocks, optionally sharded over a TPU mesh (see xmhw_tpu.core.pipeline).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .annotate import annotate_ds, detect_params_attr, threshold_params_attr
 from .core.calendar import compute_doy, get_calendar
 from .core.pipeline import run_clim, run_detect
+from .core.point import (point_clim, point_detect, point_interpolate_na,
+                         runavg_circular_np as _runavg_circular_np)
 from .exception import XmhwException
 from .xrlite import Coord, DataArray, Dataset, TimeIndex, unstack_cell
 from .xrlite.adapt import as_dataarray
@@ -48,6 +52,17 @@ def land_check(temp, tdim="time", anynans=False):
     if keep.size == 0:
         raise XmhwException("All points of grid are either land or NaN")
     return ts.isel(cell=keep)
+
+
+def _use_point_host() -> bool:
+    """Single-point workloads run on the HOST numpy engine
+    (core/point.py): one cell is far below an accelerator's launch
+    floor, and the device path's first-call compiles took ~23 s for a
+    30-yr point on the TPU tunnel (or 10-25 s of XLA:CPU LLVM work) vs
+    milliseconds of numpy. The reference keeps a dedicated pandas point
+    mode for the same reason (reference: xmhw/xmhw.py:122-126). Set
+    XMHW_POINT_HOST=0 to force points through the device engines."""
+    return os.environ.get("XMHW_POINT_HOST", "1") != "0"
 
 
 def _interpolate_na(data, max_gap):
@@ -151,8 +166,10 @@ def threshold(
     data = np.asarray(ts.data, dtype=dtype or np.float32)
     if point:
         data = data[:, None]
+    point_host = point and _use_point_host()
     if maxPadLength:
-        data = _interpolate_na(data, maxPadLength)
+        data = (point_interpolate_na(data, maxPadLength) if point_host
+                else _interpolate_na(data, maxPadLength))
     if coldSpells:
         data = -data
 
@@ -168,12 +185,20 @@ def threshold(
     present = (np.isin(doy_labels, np.unique(doy)) if holey
                else np.ones(ndoy, bool))
 
-    thresh, seas = run_clim(
-        data, doy, windowHalfWidth, ndoy, pctile=pctile,
-        smooth=smoothPercentile and not holey,
-        smooth_w=smoothPercentileWidth,
-        patch_feb29=not tstep and not holey, block=cell_block, mesh=mesh,
-    )
+    if point_host:
+        thresh, seas = point_clim(
+            data, doy, windowHalfWidth, ndoy, pctile=pctile,
+            smooth=smoothPercentile and not holey,
+            smooth_w=smoothPercentileWidth,
+            patch_feb29=not tstep and not holey)
+    else:
+        thresh, seas = run_clim(
+            data, doy, windowHalfWidth, ndoy, pctile=pctile,
+            smooth=smoothPercentile and not holey,
+            smooth_w=smoothPercentileWidth,
+            patch_feb29=not tstep and not holey, block=cell_block,
+            mesh=mesh,
+        )
     if holey:
         doy_labels = doy_labels[present]
         thresh = thresh[present]
@@ -211,16 +236,6 @@ def threshold(
         pctile, tindex.year[0], tindex.year[-1], windowHalfWidth, skipna,
         smoothPercentile, smoothPercentileWidth, anynans)
     return ds
-
-
-def _runavg_circular_np(x, w):
-    """Host circular running mean over axis 0 (NaN-propagating), the
-    365-row-axis equivalent of core.clim.runavg_circular."""
-    half = w // 2
-    xp = np.concatenate([x[-half:], x, x[:half]], axis=0)
-    from numpy.lib.stride_tricks import sliding_window_view
-
-    return sliding_window_view(xp, w, axis=0).mean(axis=-1)
 
 
 def _align_clim_cells(clim_da, ts_cell_coords, n_cells, name):
@@ -337,8 +352,10 @@ def detect(
     if point:
         data, th_data, se_data = (x[:, None] for x in
                                   (data, th_data, se_data))
+    point_host = point and _use_point_host()
     if maxPadLength:
-        data = _interpolate_na(data, maxPadLength)
+        data = (point_interpolate_na(data, maxPadLength) if point_host
+                else _interpolate_na(data, maxPadLength))
     if coldSpells:
         data = -data
 
@@ -352,15 +369,24 @@ def detect(
             "Climatology doy axis does not cover the timeseries doys")
     doy_pos = pos.astype(np.int32)
 
-    tables, n_events, inter = run_detect(
-        data, th_data, se_data, doy_pos, min_duration=minDuration,
-        join_gaps=joinGaps, max_gap=maxGap, intermediate=intermediate,
-        block=cell_block, mesh=mesh, day0_fillna_quirk=reference_quirks,
-        # point mode: skip the counting pass (one whole program compile)
-        # and start at a capacity that covers ~50 years of typical MHW
-        # density; the raw-count overflow retry handles the rest
-        first_k=128 if point else None,
-    )
+    if point_host:
+        tables, n_events, inter = point_detect(
+            data, th_data, se_data, doy_pos, min_duration=minDuration,
+            join_gaps=joinGaps, max_gap=maxGap,
+            intermediate=intermediate,
+            day0_fillna_quirk=reference_quirks)
+    else:
+        tables, n_events, inter = run_detect(
+            data, th_data, se_data, doy_pos, min_duration=minDuration,
+            join_gaps=joinGaps, max_gap=maxGap, intermediate=intermediate,
+            block=cell_block, mesh=mesh,
+            day0_fillna_quirk=reference_quirks,
+            # device point mode (XMHW_POINT_HOST=0): skip the counting
+            # pass (one whole program compile) and start at a capacity
+            # that covers ~50 years of typical MHW density; the
+            # overflow retry handles the rest
+            first_k=128 if point else None,
+        )
 
     time_vals = tindex.values
     if events_layout == "compact":

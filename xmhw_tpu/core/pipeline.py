@@ -193,7 +193,7 @@ def _pallas_clim_block(ts_p, starts, lens, ndoy, ny, rmax, pctile, smooth,
 def run_clim(ts_np: np.ndarray, doy_np: np.ndarray, w: int, ndoy: int,
              pctile: int, smooth: bool, smooth_w: int, patch_feb29: bool,
              block: int | None = None, mesh=None, use_pallas=None,
-             pallas_interpret=False):
+             pallas_interpret=False, use_mesh=True):
     """Climatology for all cells: (T, C) -> (thresh, seas) as (ndoy, C).
 
     TPU-native calc_clim (reference: xmhw/xmhw.py:250-307) over cell
@@ -218,7 +218,8 @@ def run_clim(ts_np: np.ndarray, doy_np: np.ndarray, w: int, ndoy: int,
             # set — use the XLA gather path, which pools everything
             pallas = False
     if pallas:
-        runner = CellRunner(C, T, 2 * w + 1, ndoy, block=block, mesh=mesh)
+        runner = CellRunner(C, T, 2 * w + 1, ndoy, block=block, mesh=mesh,
+                            use_mesh=use_mesh)
         # each device shard feeds the kernel whole 128-lane tiles
         n_dev = len(runner.mesh.devices.flat) if runner.mesh else 1
         quantum = 128 * n_dev
@@ -249,7 +250,8 @@ def run_clim(ts_np: np.ndarray, doy_np: np.ndarray, w: int, ndoy: int,
         return out_t, out_s
 
     gidx_np, Z = build_window_index(doy_np, w, ndoy)
-    runner = CellRunner(C, T, Z, ndoy, block=block, mesh=mesh)
+    runner = CellRunner(C, T, Z, ndoy, block=block, mesh=mesh,
+                        use_mesh=use_mesh)
     gidx = runner.device_replicated(gidx_np)
     src = _BlockSource(runner, ts_np)
     for lo in runner.blocks():
@@ -671,7 +673,8 @@ def _slice_rows(a, T):
 def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
                max_gap, intermediate=False, block=None, mesh=None,
                k_cap=None, day0_fillna_quirk=False, use_pallas=None,
-               pallas_interpret=False, k_min=None, first_k=None):
+               pallas_interpret=False, k_min=None, first_k=None,
+               use_mesh=True):
     """Detection for all cells: returns (tables dict of (K, C) numpy,
     n_events (C,), inter dict of (T, C) numpy).
 
@@ -690,7 +693,7 @@ def run_detect(ts_np, th_np, se_np, doy_pos_np, min_duration, join_gaps,
     fan-out (reference: xmhw/xmhw.py:440-454, identify.py:328-412).
     """
     T, C = ts_np.shape
-    runner = CellRunner(C, T, block=block, mesh=mesh)
+    runner = CellRunner(C, T, block=block, mesh=mesh, use_mesh=use_mesh)
     n_dev = len(runner.mesh.devices.flat) if runner.mesh else 1
     use_pallas_scan = use_pallas if use_pallas is not None else (
         ts_np.dtype == np.float32 and jax.default_backend() != "cpu")

@@ -63,6 +63,26 @@ class GridReader:
         self.attrs = {k: v for k, v in self.v.attrs.items()
                       if not k.startswith(("DIMENSION", "CLASS", "NAME",
                                            "_Netcdf4"))}
+        # CF packing/fill decode state (xarray-equivalent, matching
+        # xrlite/netcdf._cf_unpack): real products such as OISST v2
+        # ship SST as int16 with scale_factor/add_offset and an integer
+        # fill — read() returns decoded float with NaN fills, so the
+        # streamed path sees the same values as the in-memory API
+        # (reference relies on xarray decoding: requirements.txt:5-8).
+        def _scalar(x):
+            return None if x is None else np.asarray(x).reshape(-1)[0]
+        self._sf = _scalar(self.attrs.pop("scale_factor", None))
+        self._ao = _scalar(self.attrs.pop("add_offset", None))
+        self._fv = _scalar(self.attrs.pop("_FillValue", None))
+        self._mv = _scalar(self.attrs.pop("missing_value", None))
+        packed = self._sf is not None or self._ao is not None
+        if packed or not np.issubdtype(self.v.dtype, np.floating):
+            self._decode_dt = np.result_type(
+                np.float32 if self.v.dtype.itemsize <= 2 else np.float64,
+                *(np.asarray(x).dtype for x in (self._sf, self._ao)
+                  if x is not None))
+        else:
+            self._decode_dt = None  # float var: NaN-fill in place
         lead = lead_dim or self.dims[0]
         if self.dims[0] != lead:
             raise XmhwException(
@@ -113,11 +133,28 @@ class GridReader:
                       for s, n in zip(sel, self.v.shape))
         block = alloc_empty(shape, self.v.dtype)
         self.v.read_direct(block, np.s_[sel])
-        fv = self.v.attrs.get("_FillValue")
-        if fv is not None and np.issubdtype(block.dtype, np.floating):
-            fv = np.asarray(fv).item()
-            if not np.isnan(fv):
-                np.copyto(block, np.nan, where=block == fv)
+        # fill mask is computed on the RAW (packed) values, CF-style
+        mask = None
+        for f in (self._fv, self._mv):
+            if f is None:
+                continue
+            if np.issubdtype(block.dtype, np.floating) and np.isnan(
+                    np.float64(f)):
+                continue  # NaN fill in a float var is already NaN
+            m = block == block.dtype.type(f)
+            mask = m if mask is None else (mask | m)
+        if self._decode_dt is not None:
+            out = alloc_empty(shape, self._decode_dt)
+            if self._sf is not None:
+                np.multiply(block, self._decode_dt.type(self._sf),
+                            out=out)
+            else:
+                out[...] = block
+            if self._ao is not None:
+                out += self._decode_dt.type(self._ao)
+            block = out
+        if mask is not None and mask.any():
+            np.copyto(block, np.nan, where=mask)
         return block.reshape(block.shape[0], -1)
 
     def close(self):
