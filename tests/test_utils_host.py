@@ -127,6 +127,10 @@ def test_arena_trim_releases_retained_pages():
 
     if alloc._libc is None or _vm_rss_mb() is None:
         pytest.skip("needs glibc + /proc")
+    if alloc.arena_free_bytes() < 0:
+        # without mallinfo2 the bloat guard falls back to a tick
+        # cadence and most calls legitimately return False
+        pytest.skip("mallinfo2 unavailable")
     alloc.tune_malloc()  # force the no-trim retention policy
     live = np.arange(1_000_000)  # a live allocation that must survive
     # churn ~400 MB of odd-size malloc allocations (plain numpy, below
@@ -157,6 +161,19 @@ def test_arena_trim_threshold_guard():
     if alloc.arena_free_bytes() < 0:
         pytest.skip("mallinfo2 unavailable")
     assert alloc.maybe_trim_arena(min_free=1 << 62) is False
+
+
+def test_arena_trim_forced_bypasses_guard_and_cadence():
+    """min_free=0 means 'trim NOW': bench.py/fullscale use it to drop
+    each config's churn before resetting the RSS watermark, so it must
+    trim even when the arena reads clean and even without mallinfo2
+    (the tick cadence must not swallow it)."""
+    from xmhw_tpu.xrlite import alloc
+
+    if alloc._libc is None:
+        pytest.skip("needs glibc")
+    for _ in range(10):  # > the no-mallinfo2 cadence period of 8
+        assert alloc.maybe_trim_arena(min_free=0) is True
 
 
 # ---- review-pass fixes: calendar/netcdf/dataarray edge cases -----------

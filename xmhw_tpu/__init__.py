@@ -52,6 +52,11 @@ def _enable_compile_cache():
     try:
         import jax
 
+        # the platform may also be pinned via jax.config before this
+        # import (the env var is ignored on some builds) — same skip
+        if (getattr(jax.config, "jax_platforms", None) or
+                "").strip().lower() == "cpu":
+            return
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           1.0)

@@ -97,7 +97,8 @@ def _ckpt_recombine(CK, end_pos, ts, thresh_t, seas_t, anom_plus,
     """Reconstruct the fused-scan state at each event end row from
     sub-block checkpoints + the raw series.
 
-    ``CK`` (Tp/sb, 31, C) int32 holds the scan state at every sb-th row
+    ``CK`` (Tp/sb, 32, C) int32 (channel 31 = reset carrier, see
+    ops/pallas/detect_scan.NT_) holds the scan state at every sb-th row
     (ops/pallas/detect_scan.py sb mode). For an end row e in sub-block
     i = e // sb, state(e) = comb(CK[i-1], mini_scan(rows i*sb .. e)) —
     the mini scan recomputes the carriers from the (T, C) inputs already

@@ -12,9 +12,10 @@ forward pass over time (VMEM carries across time blocks):
    f32 is exact enough AND faster),
 2. the 9-carrier segmented associative scan (running max / first-argmax /
    first- and last-finite indices, reset at run starts),
-3. the channel stacking itself: everything lands in ONE (T, 31, C) int32
-   output (float channels as bit patterns) so the downstream boundary
-   gather is a single take_along_axis.
+3. the channel stacking itself: everything lands in ONE (T, 32, C) int32
+   output (float channels as bit patterns; channel 31 is the reset
+   carrier, kept so the channel count is a power of two) so the
+   downstream boundary gather is a single take_along_axis.
 
 The derived columns (relSeas, severity, anom_plus/minus, ...) are
 recomputed in VMEM from the raw series — cheaper than reading them from
@@ -34,6 +35,7 @@ Output channels (order matches core/features_scan.py exactly):
         finite, anom_minus at last finite, relThresh and mabs at the
         argmax day — so the caller never gathers the (T, C) series at
         event positions at all; ONE boundary gather serves everything
+  31    int32 reset carrier (padding to a power-of-two channel count)
 """
 
 from __future__ import annotations

@@ -160,7 +160,15 @@ if _libc is not None:
 
 def arena_free_bytes() -> int:
     """Free (retained, reusable) bytes in the glibc malloc arena, or -1
-    when mallinfo2 is unavailable."""
+    when mallinfo2 is unavailable.
+
+    Main arena only: glibc's mallinfo2 does not count secondary
+    per-thread arenas, so temporaries allocated on e.g. the
+    write-behind thread can bloat without moving this number (the
+    ``malloc_trim`` that ``maybe_trim_arena`` issues DOES cover all
+    arenas). ``tune_malloc``'s 1 GB M_MMAP_THRESHOLD keeps the large
+    streaming temporaries in heap arenas wherever they run, so the
+    main-arena reading is a lower bound on total retained bloat."""
     if not _have_mallinfo2:
         return -1
     return int(_libc.mallinfo2().fordblks)
@@ -184,17 +192,22 @@ def maybe_trim_arena(min_free: int = 2 << 30) -> bool:
     excess is dropped. Callers invoke this at stripe boundaries from the
     write-behind slot, where the (small) refault cost of re-touching
     the trimmed churn overlaps the next stripe's device step. The
-    ``min_free`` guard keeps the steady small-run path trim-free.
+    ``min_free`` guard keeps the steady small-run path trim-free;
+    ``min_free=0`` means "trim unconditionally NOW" (used before
+    resetting an RSS watermark between bench configs) and bypasses both
+    the guard and the no-mallinfo2 tick cadence below.
     Returns True when a trim was issued."""
     global _trim_tick
     if _libc is None:
         return False
+    forced = min_free <= 0
     free = arena_free_bytes()
-    if free >= 0 and free < min_free:
+    if not forced and free >= 0 and free < min_free:
         return False
     _trim_tick += 1
-    if free < 0 and _trim_tick % 8:  # no mallinfo2: trim at a coarse
-        return False                 # cadence instead of blindly
+    if not forced and free < 0 and _trim_tick % 8:
+        return False  # no mallinfo2: trim at a coarse cadence
+        #               instead of blindly on every stripe
     try:
         _libc.malloc_trim(ctypes.c_size_t(0))
         return True
