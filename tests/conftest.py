@@ -12,6 +12,9 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
 )
+# keep the suite's streamed runs out of the user's persistent caches
+# (compile cache + kcache.json); individual tests monkeypatch their own
+os.environ.setdefault("XMHW_COMPILE_CACHE", "0")
 
 import jax  # noqa: E402
 

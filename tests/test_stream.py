@@ -534,3 +534,44 @@ def test_stream_detect_packed_matches_api(packed_grid_file, tmp_path):
     for v in ("event", "duration", "intensity_max", "rate_onset"):
         np.testing.assert_allclose(got[v].data[:kmax], exp[v].data,
                                    atol=1e-9, equal_nan=True)
+
+
+def test_kcache_persists_discovered_k(grid_file, tmp_path, monkeypatch):
+    """A re-run of the same dataset starts at the previously discovered
+    event capacity K instead of re-walking 32->64->... (each step is a
+    whole-program compile, multi-second through the TPU tunnel). The
+    table lives next to the XLA compile cache (XMHW_COMPILE_CACHE) and
+    is keyed by the run's parameter+path fingerprint."""
+    from xmhw_tpu import stream as st
+
+    path, da = grid_file
+    monkeypatch.setenv("XMHW_COMPILE_CACHE", str(tmp_path / "cache"))
+    clim_out = str(tmp_path / "clim.nc")
+    stream_threshold(path, "sst", clim_out, dtype=np.float64, stripe=5)
+
+    seen = []
+    real = st.run_detect
+
+    def spy(*a, **k):
+        seen.append(k.get("k_min"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(st, "run_detect", spy)
+    out1 = str(tmp_path / "m1.nc")
+    stream_detect(path, "sst", clim_out, out1, dtype=np.float64,
+                  stripe=5, events_layout="compact")
+    assert os.path.exists(str(tmp_path / "cache" / "kcache.json"))
+    first_walk = seen[0]
+
+    seen.clear()
+    out2 = str(tmp_path / "m2.nc")
+    stream_detect(path, "sst", clim_out, out2, dtype=np.float64,
+                  stripe=5, events_layout="compact")
+    # second run: every stripe (including the first) starts at the
+    # final K of the first run — no capacity growth, one compile
+    assert seen[0] is not None and seen[0] > max(1, first_walk or 1)
+    assert seen[0] == max(seen)
+    import h5py
+
+    with h5py.File(out1) as a, h5py.File(out2) as b:
+        np.testing.assert_array_equal(a["event"][()], b["event"][()])

@@ -177,6 +177,69 @@ def _resume_sig(**params):
                       default=str)
 
 
+def _kcache_file():
+    """Path of the persisted per-dataset K-capacity table, next to the
+    XLA compile cache (same opt-out: XMHW_COMPILE_CACHE=0 disables)."""
+    base = os.environ.get("XMHW_COMPILE_CACHE",
+                          os.path.expanduser("~/.cache/jax_xmhw"))
+    if base in ("0", ""):
+        return None
+    return os.path.join(base, "kcache.json")
+
+
+def _kcache_key(sig):
+    import hashlib
+
+    return hashlib.sha1(sig.encode()).hexdigest()[:20]
+
+
+def _kcache_get(sig):
+    """Previously discovered event capacity K for this exact dataset +
+    parameter fingerprint, or 0.
+
+    The optimistic-K engine discovers capacity by walking 32->64->...
+    with one multi-second remote compile per variant; a re-run of the
+    same dataset used to pay that walk again. Same fingerprint => same
+    inputs => same K, so the walk is a one-time cost per (dataset,
+    params) per machine. If the file at the fingerprinted path changed
+    content-wise, a too-small cached K is still safe: the raw-count
+    overflow retry grows it exactly as on a fresh run."""
+    path = _kcache_file()
+    if path is None or not os.path.exists(path):
+        return 0
+    try:
+        with open(path) as f:
+            return int(json.load(f).get(_kcache_key(sig), 0))
+    except (OSError, ValueError):
+        return 0
+
+
+def _kcache_put(sig, k):
+    """Persist the discovered K (atomic rename; keeps newest 128)."""
+    path = _kcache_file()
+    if path is None or k <= 1:
+        return
+    try:
+        table = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                table = json.load(f)
+        key = _kcache_key(sig)
+        if table.get(key) == int(k):
+            return
+        table.pop(key, None)
+        table[key] = int(k)  # dict order = insertion = recency
+        while len(table) > 128:
+            table.pop(next(iter(table)))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(table, f)
+        os.replace(tmp, path)
+    except (OSError, ValueError):
+        pass
+
+
 def _load_resume(path, sig=None):
     """Watermark of an interrupted streamed run at ``path``, or None.
 
@@ -960,12 +1023,12 @@ def stream_detect(
         # ---- phase A: detect per stripe; compact tables stream to disk,
         # union-layout tables are retained for the phase-B union scatter
         stripes = []  # (lo, hi, keep, tables {name: (K_b, n_keep)})
-        kmax = 1
+        kmax = max(1, _kcache_get(resume_sig))  # skip the K re-walk
         label_union = []
         iw = None  # lazy intermediate writer (phase-A streamed)
         inter_vars = {}
         if resume_state is not None:
-            kmax = int(resume_state.get("kmax", 1))
+            kmax = max(kmax, int(resume_state.get("kmax", 1)))
             if intermediate and os.path.exists(inter_path):
                 iw = _Writer.open_append(inter_path)
                 inter_vars = {n: iw.h[n] for n in iw.h
@@ -1031,6 +1094,7 @@ def stream_detect(
 
             wb.submit(_write)
         wb.finish()
+        _kcache_put(resume_sig, kmax)  # re-runs start at the final K
 
         # ---- phase B: close (compact) / union scatter-write -------------
         if compact:
@@ -1730,11 +1794,11 @@ def stream_run(
         # ---- phase A: one fused pass per stripe -------------------------
         stripes = []        # (lo, hi, keep_det, tables, labels)
         rank_stripes = []   # (lo, hi, keep_det, ranks, labels)
-        kmax = 1
+        kmax = max(1, _kcache_get(resume_sig))  # skip the K re-walk
         label_union = []
         smin = emax = None  # event time extremes for nYears
         if resume_state is not None:
-            kmax = int(resume_state["kmax"])
+            kmax = max(kmax, int(resume_state["kmax"]))
             smin = resume_state["smin"]
             emax = resume_state["emax"]
         def _fetch(lo, hi):
@@ -1930,6 +1994,7 @@ def stream_run(
 
             wb.submit(_wstripe)
         wb.finish()
+        _kcache_put(resume_sig, kmax)  # re-runs start at the final K
         cw.close()
         if bw is not None:
             bw.close()
