@@ -228,12 +228,12 @@ def _ckpt_recombine(CK, end_pos, ts, thresh_t, seas_t, anom_plus,
     jax.jit,
     static_argnames=("K", "min_duration", "join_gaps", "max_gap",
                      "intermediate", "use_pallas_scan", "pallas_interpret",
-                     "day0_fillna_quirk", "pallas_sb"),
+                     "day0_fillna_quirk", "pallas_sb", "tbk", "grp"),
 )
 def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
                   max_gap=2, intermediate=False, use_pallas_scan=False,
                   pallas_interpret=False, day0_fillna_quirk=False,
-                  pallas_sb=0):
+                  pallas_sb=0, tbk=128, grp=4):
     """Scan-based detection pipeline; same contract as
     features.detect_kernel (see that docstring for parameters).
 
@@ -244,7 +244,24 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     dt = ts.dtype
     nan = jnp.asarray(jnp.nan, dt)
     neg = jnp.asarray(-jnp.inf, dt)
-    bigi = _I32(4 * T + 64)
+
+    # PAD ONCE at the top (Pallas path): every (T, C) intermediate
+    # below is born at the kernel's block multiple, so the kernel's
+    # per-input re-pads and the counting chain's pad+stack vanish (each
+    # standalone XLA pad copies the whole ~240 MB array; ~4.5 ms/block
+    # of the round-5 trace). Pad rows are NaN -> bthresh False -> never
+    # event days; positions (start/end) stay clipped to the REAL T.
+    Tq = T
+    if use_pallas_scan:
+        from ..ops.pallas.detect_scan import TB as _TBQ
+
+        Tq = -(-T // _TBQ) * _TBQ
+        if Tq != T:
+            ts = jnp.concatenate(
+                [ts, jnp.full((Tq - T, C), nan, dt)], axis=0)
+            doy_pos = jnp.concatenate(
+                [doy_pos, jnp.zeros((Tq - T,), doy_pos.dtype)])
+    bigi = _I32(4 * Tq + 64)
 
     thresh_t = th[doy_pos]
     seas_t = se[doy_pos]
@@ -306,8 +323,8 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     cumstart = f["slot"] + 1  # (T, C) monotone
     target = (lax.broadcasted_iota(_I32, (K, C), 0) + 1)  # k+1 per row
 
-    TBK = 128
-    nbk = -(-T // TBK)
+    TBK = tbk
+    nbk = -(-Tq // TBK)
     # ev_end rides the SAME block gather as the start counter: the start
     # row of event k is a day row, so ev_end at that row is the event's
     # end — selecting it from the gathered block by the already-computed
@@ -316,13 +333,14 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     # per-lane take_along_axis at ~0.25 GB/s, it is INDEX-bound) with
     # one compare+sum over rows already in registers.
     evd = jnp.where(day, f["ev_end"], 0)
-    stacked = jnp.stack([cumstart, evd], axis=1)  # (T, 2, C)
-    if nbk * TBK != T:  # pad rows repeat the final row: counter never
+    stacked = jnp.stack([cumstart, evd], axis=1)  # (Tq, 2, C)
+    if nbk * TBK != Tq:  # pad rows repeat the final row: counter never
         # drops below target, and pad ev_end rows are only read for
-        # invalid (masked) events
+        # invalid (masked) events (top-padded inputs make this a no-op
+        # at the default TBK)
         spad = jnp.concatenate(
             [stacked,
-             jnp.broadcast_to(stacked[-1:], (nbk * TBK - T, 2, C))],
+             jnp.broadcast_to(stacked[-1:], (nbk * TBK - Tq, 2, C))],
             axis=0)
     else:
         spad = stacked
@@ -393,7 +411,8 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
             G31 = _ckpt_recombine(
                 CK, end_pos, ts, thresh_t, seas_t, anom_plus,
                 anom_minus, day, is_start, (a_rs, a_rt, a_sv, a_ma),
-                pallas_sb, T)
+                pallas_sb, Tq)  # padded length: sentinel (bigi) and
+            # row clips must match the kernel's padded index space
         else:
             # FOLD: the scan combine is an IDENTITY on non-event rows
             # (every carrier's contribution from a day=False row is its
@@ -425,17 +444,22 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
             #
             # GROUPED FETCH: XLA's TPU gather emitter is index-bound on
             # per-(k,c) fetches of NT C-strided words (~19.3 ms/block,
-            # ~3.3 GB/s effective); fetching GRP=2 whole folded rows per
-            # index — a flat 256 B contiguous run in the (rows/GRP,
-            # GRP*32, C) pure view — rides its fast slice path instead
-            # (~8.5 ms measured) and one in-register compare+sum picks
-            # the right row. Requires the 32-channel (power-of-two)
-            # kernel output; any (K, C)-indexed gather costs a ~7-8 ms
-            # index floor, so counting gathers are not split further.
+            # ~3.3 GB/s effective); fetching GRP whole folded rows per
+            # index — a flat GRP*128 B contiguous run in the (rows/GRP,
+            # GRP*32, C) pure view — rides its fast slice path instead,
+            # and one in-register compare+sum picks the right row.
+            # Round-5 on-chip sweep (tools/gather_tune.py, detect step
+            # standalone): GRP=1 67.9 / 2 64.2 / 4 61.7 / 8 64.3 ms —
+            # GRP=4 balances the per-index floor against the extra
+            # fetched bytes and the select-sum width. Requires the
+            # 32-channel (power-of-two) kernel output. The counting
+            # gather is likewise at its optimum: TBK=64 is +1 ms and
+            # TBK=32 is 1.9x (the (nbk, K, C) block-locate compare+sum
+            # quadruples), so counting gathers are not split further.
             gpos = end_pos // fold if fold > 1 else end_pos
             nrows, NTK = S31.shape[0], S31.shape[1]
-            GRP = 2
-            if nrows % GRP == 0:
+            GRP = grp
+            if GRP > 1 and nrows % GRP == 0:
                 Y = S31.reshape(nrows // GRP, GRP * NTK, C)
                 G = jnp.take_along_axis(
                     Y, (gpos // GRP)[:, None, :], axis=0)
@@ -690,4 +714,6 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
             "duration_extreme": dur_extreme & day,
             "mabs": mabs,
         }
+        if Tq != T:  # drop the top pad from the (Tq, C) intermediates
+            inter = {k: v[:T] for k, v in inter.items()}
     return table, n_events, inter
