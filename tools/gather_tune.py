@@ -57,7 +57,7 @@ def main():
     ts0, ts1 = ts0[:T], ts1[:T]
     _ = float(jnp.sum(th))
 
-    def timed(tbk, grp):
+    def timed(tbk, grp, cnt_ct=True):
         @jax.jit
         def loop(a, b):
             def body(i, acc):
@@ -66,7 +66,7 @@ def main():
                 cur = lax.cond(i % 2 == 0, lambda: a, lambda: b)
                 table, nev, _ = detect_kernel(
                     cur, th, se, doy_pos, K=K, use_pallas_scan=True,
-                    tbk=tbk, grp=grp)
+                    tbk=tbk, grp=grp, cnt_ct=cnt_ct)
                 dig = sum(jnp.nansum(v.astype(jnp.float32))
                           for v in table.values())
                 return acc + dig + jnp.sum(nev).astype(jnp.float32)
@@ -82,17 +82,18 @@ def main():
             best = min(best, (time.perf_counter() - t0) / N)
         return best * 1e3, r
 
-    grid = [(128, 2), (64, 2), (32, 2), (128, 4), (64, 4), (128, 8),
-            (128, 1)]
+    grid = [(128, 4, 1), (128, 4, 0), (64, 4, 1), (256, 4, 1)]
     if len(sys.argv) > 1:
         grid = [tuple(map(int, g.split(","))) for g in sys.argv[1:]]
     results = {}
-    for tbk, grp in grid:
-        ms, dig = timed(tbk, grp)
-        results[(tbk, grp)] = ms
-        print(f"tbk={tbk:4d} grp={grp}  {ms:7.2f} ms/call  "
-              f"digest={dig:.6g}", flush=True)
-    base = results.get((128, 2))
+    for cfg in grid:
+        tbk, grp = cfg[0], cfg[1]
+        cnt_ct = bool(cfg[2]) if len(cfg) > 2 else True
+        ms, dig = timed(tbk, grp, cnt_ct)
+        results[(tbk, grp, cnt_ct)] = ms
+        print(f"tbk={tbk:4d} grp={grp} cnt_ct={int(cnt_ct)}  "
+              f"{ms:7.2f} ms/call  digest={dig:.6g}", flush=True)
+    base = next(iter(results.values()), None)
     if base:
         for k, v in sorted(results.items(), key=lambda kv: kv[1]):
             print(f"  {k}: {v:.2f} ms ({v / base * 100:.0f}% of baseline)")

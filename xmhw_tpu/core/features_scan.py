@@ -228,12 +228,13 @@ def _ckpt_recombine(CK, end_pos, ts, thresh_t, seas_t, anom_plus,
     jax.jit,
     static_argnames=("K", "min_duration", "join_gaps", "max_gap",
                      "intermediate", "use_pallas_scan", "pallas_interpret",
-                     "day0_fillna_quirk", "pallas_sb", "tbk", "grp"),
+                     "day0_fillna_quirk", "pallas_sb", "tbk", "grp",
+                     "cnt_ct"),
 )
 def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
                   max_gap=2, intermediate=False, use_pallas_scan=False,
                   pallas_interpret=False, day0_fillna_quirk=False,
-                  pallas_sb=0, tbk=128, grp=4):
+                  pallas_sb=0, tbk=128, grp=4, cnt_ct=True):
     """Scan-based detection pipeline; same contract as
     features.detect_kernel (see that docstring for parameters).
 
@@ -333,35 +334,76 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
     # per-lane take_along_axis at ~0.25 GB/s, it is INDEX-bound) with
     # one compare+sum over rows already in registers.
     evd = jnp.where(day, f["ev_end"], 0)
-    stacked = jnp.stack([cumstart, evd], axis=1)  # (Tq, 2, C)
-    if nbk * TBK != Tq:  # pad rows repeat the final row: counter never
-        # drops below target, and pad ev_end rows are only read for
-        # invalid (masked) events (top-padded inputs make this a no-op
-        # at the default TBK)
-        spad = jnp.concatenate(
-            [stacked,
-             jnp.broadcast_to(stacked[-1:], (nbk * TBK - Tq, 2, C))],
-            axis=0)
-    else:
-        spad = stacked
-    blocks = spad.reshape(nbk, TBK, 2, C)
-    blk_final = blocks[:, TBK - 1, 0, :]  # (nbk, C)
-    bk = jnp.sum((blk_final[:, None, :] < target[None, :, :])
-                 .astype(_I32), axis=0,
-                 dtype=_I32)  # (K, C) block holding event k
-    blk = jnp.take_along_axis(
-        blocks, jnp.clip(bk, 0, nbk - 1)[:, None, None, :],
-        axis=0)  # (K, TBK, 2, C)
-    within = jnp.sum((blk[:, :, 0, :] < target[:, None, :]).astype(_I32),
-                     axis=1, dtype=_I32)
-    start_pos = jnp.minimum(bk * TBK + within, T - 1)
     valid = (lax.broadcasted_iota(_I32, (K, C), 0) < n_valid[None, :])
-    start = jnp.where(valid, start_pos, 0)
-    woff = jnp.clip(within, 0, TBK - 1)[:, None, :]
-    end_pos = jnp.sum(
-        jnp.where(lax.broadcasted_iota(_I32, (K, TBK, C), 1) == woff,
-                  blk[:, :, 1, :], 0), axis=1,
-        dtype=_I32)  # pin: x64 would promote to int64
+    if cnt_ct:
+        # CHANNEL-MINOR counting (default, round-5 measured): blocks
+        # laid out (nbk, C, TBK) so the per-(k,c) block fetch is one
+        # contiguous 2*TBK-word run AND the gather's native output
+        # layout is the one the compare+sums consume directly. The
+        # C-minor formulation below ends up fetching contiguously too —
+        # but only after XLA re-lays the 536 MB stacked array on BOTH
+        # sides of the gather (~5.6 ms/4096-cell block of pure data
+        # formatting: copy.23/24 + pad_add + select_bitcast +
+        # fusion.227 in the round-5 trace); here the post-reduction
+        # relayouts act on (K, C) outputs (2 MB) instead.
+        def blockify(x):  # (Tq, C) -> (nbk, C, TBK)
+            if nbk * TBK != Tq:  # pad rows repeat the final row (the
+                # counter never drops below target; pad ev_end rows are
+                # only read for invalid, masked events)
+                x = jnp.concatenate(
+                    [x, jnp.broadcast_to(x[-1:], (nbk * TBK - Tq, C))],
+                    axis=0)
+            return x.reshape(nbk, TBK, C).transpose(0, 2, 1)
+
+        cb = blockify(cumstart)
+        eb = blockify(evd)
+        blocks_t = jnp.concatenate([cb, eb], axis=2)  # (nbk, C, 2*TBK)
+        blk_final = cb[:, :, TBK - 1]  # (nbk, C)
+        bk = jnp.sum((blk_final[:, None, :] < target[None, :, :])
+                     .astype(_I32), axis=0,
+                     dtype=_I32)  # (K, C) block holding event k
+        blk_t = jnp.take_along_axis(
+            blocks_t, jnp.clip(bk, 0, nbk - 1)[:, :, None],
+            axis=0)  # (K, C, 2*TBK)
+        within = jnp.sum((blk_t[:, :, :TBK] < target[:, :, None])
+                         .astype(_I32), axis=2, dtype=_I32)
+        start_pos = jnp.minimum(bk * TBK + within, T - 1)
+        start = jnp.where(valid, start_pos, 0)
+        woff = jnp.clip(within, 0, TBK - 1)[:, :, None]
+        end_pos = jnp.sum(
+            jnp.where(
+                lax.broadcasted_iota(_I32, (K, C, TBK), 2) == woff,
+                blk_t[:, :, TBK:], 0), axis=2,
+            dtype=_I32)  # pin: x64 would promote to int64
+    else:
+        stacked = jnp.stack([cumstart, evd], axis=1)  # (Tq, 2, C)
+        if nbk * TBK != Tq:  # pad rows repeat the final row: counter
+            # never drops below target, and pad ev_end rows are only
+            # read for invalid (masked) events (top-padded inputs make
+            # this a no-op at the default TBK)
+            spad = jnp.concatenate(
+                [stacked,
+                 jnp.broadcast_to(stacked[-1:], (nbk * TBK - Tq, 2, C))],
+                axis=0)
+        else:
+            spad = stacked
+        blocks = spad.reshape(nbk, TBK, 2, C)
+        blk_final = blocks[:, TBK - 1, 0, :]  # (nbk, C)
+        bk = jnp.sum((blk_final[:, None, :] < target[None, :, :])
+                     .astype(_I32), axis=0,
+                     dtype=_I32)  # (K, C) block holding event k
+        blk = jnp.take_along_axis(
+            blocks, jnp.clip(bk, 0, nbk - 1)[:, None, None, :],
+            axis=0)  # (K, TBK, 2, C)
+        within = jnp.sum((blk[:, :, 0, :] < target[:, None, :])
+                         .astype(_I32), axis=1, dtype=_I32)
+        start_pos = jnp.minimum(bk * TBK + within, T - 1)
+        start = jnp.where(valid, start_pos, 0)
+        woff = jnp.clip(within, 0, TBK - 1)[:, None, :]
+        end_pos = jnp.sum(
+            jnp.where(lax.broadcasted_iota(_I32, (K, TBK, C), 1) == woff,
+                      blk[:, :, 1, :], 0), axis=1,
+            dtype=_I32)  # pin: x64 would promote to int64
     end_pos = jnp.clip(end_pos, 0, T - 1)
     end = jnp.where(valid, end_pos, 0)
     endp1 = end + 1
