@@ -147,6 +147,59 @@ def test_doy_clim_batched_bit_equal(window_tables):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("min_duration,max_gap,join_gaps", [
+    (5, 2, True),   # defaults: fold=4, latch=2 (8-row groups)
+    (3, 1, False),  # no-join: fold=2, latch=2 (4-row groups)
+    (2, 2, True),   # sep=5: fold=4, latch=1 (latch disabled)
+    (9, 4, True),   # sep=14: fold=4, latch=2
+])
+def test_detect_scan_latch_dense_phases(min_duration, max_gap,
+                                        join_gaps):
+    """END-AWARE LATCH == XLA engine at the densest legal event packing.
+
+    Events repeat at EXACTLY the minimal end separation (minDuration +
+    maxGap+1 when joining, minDuration+1 otherwise), phase-shifted per
+    column so event ends land on every latch-group offset — including
+    sub-block boundaries and the last row of a 128-row kernel block
+    (where the in-block end detector cannot see the next day and must
+    fall back to the default sub-block pick).
+    """
+    import jax.numpy as jnp
+
+    from xmhw_tpu.core import features_scan as F2
+
+    sep = min_duration + (max_gap + 1 if join_gaps else 1)
+    T, C, D = 700, 128, 40
+    doy_pos = (np.arange(T) % D).astype(np.int32)
+    th = np.full((D, C), 0.5, np.float32)
+    se = np.zeros((D, C), np.float32)
+    rng = np.random.default_rng(7)
+    ts = np.zeros((T, C), np.float32)
+    for c in range(C):
+        phase = c % (2 * sep)  # covers all group offsets twice over
+        for s in range(phase, T - min_duration, sep):
+            ts[s:s + min_duration, c] = 1.0 + 0.1 * rng.random(
+                min_duration).astype(np.float32)
+    # a NaN hole splitting one column's run pattern
+    ts[256:260, 5] = np.nan
+    args = (jnp.asarray(ts), jnp.asarray(th), jnp.asarray(se),
+            jnp.asarray(doy_pos))
+    kw = dict(K=128, min_duration=min_duration, max_gap=max_gap,
+              join_gaps=join_gaps)
+    a, na, _ = F2.detect_kernel(*args, **kw)
+    b, nb, _ = F2.detect_kernel(*args, use_pallas_scan=True,
+                                pallas_interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
+    for k in a:
+        x = np.asarray(a[k], np.float64)
+        y = np.asarray(b[k], np.float64)
+        m = np.isfinite(x)
+        assert (m == np.isfinite(y)).all(), k
+        np.testing.assert_allclose(x[m], y[m], rtol=2e-3, atol=2e-3,
+                                   err_msg=k)
+
+
+@pytest.mark.slow
 def test_detect_scan_checkpoint_mode_matches_full():
     """sb-checkpoint kernel + XLA recombination == full-write kernel.
 

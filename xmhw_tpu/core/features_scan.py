@@ -474,10 +474,23 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
             fold = 1
             while fold * 2 <= min(window, 128):
                 fold *= 2
+            # END-AWARE LATCH on top of the fold: consecutive event ends
+            # are >= sep rows apart (a finished event is followed by
+            # > maxGap non-event days when joining — else >= 1 — and the
+            # next event spans >= minDuration days), so groups of
+            # fold*latch <= sep rows hold at most one end each and the
+            # kernel can emit ONE latched row per group (see
+            # ops/pallas/detect_scan.py). 8 at the defaults: HALVES the
+            # scan kernel's dominant HBM write vs fold=4 alone.
+            sep = min_duration + (max_gap + 1 if join_gaps else 1)
+            latch = 1
+            while (fold > 1 and fold * latch * 2 <= min(sep, 128)
+                   and (128 // fold) % (latch * 2) == 0):
+                latch *= 2
             S31 = fused_detect_scans(
                 ts, thresh_t, seas_t, day,
                 is_start, shifts, interpret=pallas_interpret,
-                sb=fold if fold > 1 else 0)
+                sb=fold if fold > 1 else 0, latch=latch)
             # the segmented-sum value at an event's end row IS the event
             # total, and the min/max/argmax channels plus their value
             # payloads ride the same array: ONE boundary gather serves
@@ -498,7 +511,8 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
             # gather is likewise at its optimum: TBK=64 is +1 ms and
             # TBK=32 is 1.9x (the (nbk, K, C) block-locate compare+sum
             # quadruples), so counting gathers are not split further.
-            gpos = end_pos // fold if fold > 1 else end_pos
+            foldl = fold * latch
+            gpos = end_pos // foldl if foldl > 1 else end_pos
             nrows, NTK = S31.shape[0], S31.shape[1]
             GRP = grp
             if GRP > 1 and nrows % GRP == 0:

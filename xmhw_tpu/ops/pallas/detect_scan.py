@@ -36,6 +36,13 @@ Output channels (order matches core/features_scan.py exactly):
         argmax day — so the caller never gathers the (T, C) series at
         event positions at all; ONE boundary gather serves everything
   31    int32 reset carrier (padding to a power-of-two channel count)
+
+Write reduction: ``sb`` emits only every sb-th state row (rows after an
+event end are bit-identical for up to maxGap+2 rows, so the caller can
+gather directly at e // sb), and ``latch`` stacks an END-AWARE fold on
+top — one row per group of ``latch`` sub-blocks, picking the sub-block
+that contains the group's (unique) event end. At the defaults the
+kernel writes (Tp/8, 32, C) instead of (Tp, 32, C).
 """
 
 from __future__ import annotations
@@ -71,7 +78,7 @@ def _shift_rows(x, d, neutral):
 
 def _kernel(ts_ref, th_ref, se_ref, day_ref, isst_ref, anext_ref,
             shifts_ref, s_ref, pcarry, fcarry, icarry,
-            rcarry, acarry, *, T, sb=0):
+            rcarry, acarry, *, T, sb=0, latch=1):
     j = pl.program_id(1)
     dtf = jnp.float32
     nan = jnp.float32(jnp.nan)
@@ -262,6 +269,57 @@ def _kernel(ts_ref, th_ref, se_ref, day_ref, isst_ref, anext_ref,
                 + [bc(mv), bc(msv), bc(mct), mi, mff, mlf, mfa, mla,
                    bc(mvff), bc(mvlf), bc(mvfa), bc(mvla), bc(mprt),
                    bc(mpma), mr])  # int32 reset carrier pads to 32 (NT_)
+
+    if latch > 1:
+        # END-AWARE LATCH: consecutive event ends are >= latch*sb rows
+        # apart (caller guarantees it from minDuration/maxGap), so each
+        # group of `latch` sub-blocks holds AT MOST ONE event end — emit
+        # one row per group: the final state of the sub-block containing
+        # the end (rows e..e+sb-1 after an end e are bit-identical, the
+        # existing fold identity), defaulting to the group's last
+        # sub-block when no end is detected (such rows are never
+        # gathered; an end at the block's last row is undetectable
+        # in-block but always lands in that default sub-block). Halves
+        # (at latch=2) the kernel's dominant HBM write and the
+        # downstream gather/relayout traffic.
+        one = jnp.int32(1)
+        di = day_ref[:].astype(jnp.int32)
+        ie = di * (one - jnp.concatenate(
+            [di[1:], jnp.zeros((1, LANES), jnp.int32)], axis=0))
+        c = ie
+        d2 = 1
+        while d2 < sb:
+            c = c + _shift_rows(c, d2, jnp.int32(0))
+            d2 *= 2
+        # per-sub-block end counts (row r*sb+sb-1 of c sums its sb rows)
+        ef = jnp.concatenate(
+            [c[r * sb + sb - 1: r * sb + sb, :] for r in range(R)],
+            axis=0)  # (R, LANES)
+        Rm = R // latch
+
+        def grows(x, s):  # rows s, s+latch, ... of x -> (Rm, LANES)
+            return jnp.concatenate(
+                [x[g * latch + s: g * latch + s + 1, :]
+                 for g in range(Rm)], axis=0)
+
+        sel = []
+        taken = jnp.zeros((Rm, LANES), jnp.int32)
+        for s in range(latch):
+            if s < latch - 1:
+                here = jnp.where(grows(ef, s) > 0, one, jnp.int32(0)) \
+                    * (one - taken)
+            else:
+                here = one - taken
+            sel.append(here > 0)
+            taken = taken + here
+
+        def latched(x):
+            acc = grows(x, latch - 1)
+            for s in range(latch - 1):
+                acc = jnp.where(sel[s], grows(x, s), acc)
+            return acc
+
+        channels = [latched(x) for x in channels]
     s_ref[:] = jnp.stack(channels, axis=1)
 
     for i in range(NP_):
@@ -274,9 +332,9 @@ def _kernel(ts_ref, th_ref, se_ref, day_ref, isst_ref, anext_ref,
     rcarry[0:1, :] = mr[R - 1:R, :]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sb"))
+@functools.partial(jax.jit, static_argnames=("interpret", "sb", "latch"))
 def fused_detect_scans(ts, thresh_t, seas_t, day,
-                       is_start, shifts, interpret=False, sb=0):
+                       is_start, shifts, interpret=False, sb=0, latch=1):
     """One-pass segmented sums + segmented min/max scans. Series inputs
     (T, C) float32; day/is_start (T, C) bool-like; shifts (4, C) float32
     per-cell shift constants (relSeas, relThresh, severity, mabs order).
@@ -303,10 +361,18 @@ def fused_detect_scans(ts, thresh_t, seas_t, day,
     * CHECKPOINT (``pallas_sb``, measured slower, kept as blueprint):
       recombine the state at arbitrary rows from the checkpoints + the
       raw series (features_scan._ckpt_recombine).
+
+    ``latch`` > 1 (sb must be > 0): emit ONE row per group of ``latch``
+    sub-blocks — the final state of the sub-block holding the group's
+    event end (see the END-AWARE LATCH comment in the kernel). Only
+    valid when consecutive event ends are >= latch*sb rows apart
+    (minDuration + maxGap + 1 at the defaults); the caller computes it.
+    Output is (Tp/(sb*latch), 32, C); gather at e // (sb*latch).
     """
     T, C = ts.shape
     assert C % LANES == 0
     assert sb == 0 or TB % sb == 0
+    assert latch == 1 or (sb > 0 and (TB // sb) % latch == 0)
     nb = -(-T // TB)
     Tp = nb * TB
 
@@ -333,10 +399,10 @@ def fused_detect_scans(ts, thresh_t, seas_t, day,
             anext,
             shifts.astype(jnp.float32)]
 
-    kernel = functools.partial(_kernel, T=T, sb=sb)
+    kernel = functools.partial(_kernel, T=T, sb=sb, latch=latch)
     tmap2 = lambda i, j: (j, i)
     tmap3 = lambda i, j: (j, 0, i)
-    out_rows = TB // sb if sb else TB
+    out_rows = (TB // sb if sb else TB) // latch
     S = pl.pallas_call(
         kernel,
         grid=(C // LANES, nb),
