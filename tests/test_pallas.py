@@ -131,6 +131,13 @@ def test_doy_clim_batched_bit_equal(window_tables):
     rng = np.random.default_rng(1)
     ts = (15 + rng.normal(0, 2, (T, 128))).astype(np.float32)
     ts[30:90, 7] = np.nan
+    # common-prefix-skip edge cases: a constant lane (min^max == 0, the
+    # radix loop degenerates to one iteration), a sign-crossing lane
+    # (no common bits at all), an all-NaN lane, and a near-zero lane
+    ts[:, 19] = 3.25
+    ts[:, 23] = rng.normal(0.0, 5.0, T).astype(np.float32)
+    ts[:, 29] = np.nan
+    ts[:, 31] = rng.normal(0.0, 1e-6, T).astype(np.float32)
     tsp = jnp.pad(jnp.asarray(ts), ((0, rmax), (0, 0)),
                   constant_values=jnp.nan)
     s = jnp.asarray(np.asarray(starts).reshape(-1))

@@ -171,16 +171,16 @@ def _use_pallas_clim(dtype, override):
 @functools.partial(
     jax.jit,
     static_argnames=("ndoy", "ny", "rmax", "pctile", "smooth", "smooth_w",
-                     "patch_feb29", "interpret"),
+                     "patch_feb29", "interpret", "batch"),
 )
 def _pallas_clim_block(ts_p, starts, lens, ndoy, ny, rmax, pctile, smooth,
-                       smooth_w, patch_feb29, interpret=False):
+                       smooth_w, patch_feb29, interpret=False, batch=8):
     from ..ops.pallas.doy_quantile import pallas_doy_clim
     from .clim import feb29_patch, runavg_circular
 
     th, se = pallas_doy_clim(ts_p, starts, lens, ndoy=ndoy, ny=ny,
                              rmax=rmax, pctile=pctile,
-                             interpret=interpret)
+                             interpret=interpret, batch=batch)
     if patch_feb29:
         th = feb29_patch(th)
         se = feb29_patch(se)

@@ -175,6 +175,7 @@ def _kernel_batched(starts_ref, lens_ref, ts_ref, th_ref, se_ref, pool,
         lax.fori_loop(0, ny, per_year, 0)
 
         rkeys, ks, fracs, nfs, masks = [], [], [], [], []
+        umins, xors = [], []
         for g in range(G):
             vals = pool[g * zpad:(g + 1) * zpad, :]
             mask = jnp.isfinite(vals)
@@ -196,11 +197,52 @@ def _kernel_batched(starts_ref, lens_ref, ts_ref, th_ref, se_ref, pool,
                 pos = jnp.float32(pctile / 100.0) * (nf - 1.0)
                 k = jnp.maximum(jnp.floor(pos), 0.0).astype(jnp.int32)
                 frac = pos - k.astype(jnp.float32)
+            # per-lane pooled min/max in the order-preserving SIGNED
+            # carrier (Mosaic has no unsigned reductions): masked rows
+            # are imax so min skips them; max masks them to int32-min
+            rmin = jnp.min(rkey, axis=0, keepdims=True)
+            rmax_s = jnp.max(jnp.where(mask, rkey,
+                                       jnp.int32(-0x80000000)),
+                             axis=0, keepdims=True)
+            umin = lax.bitcast_convert_type(
+                rmin, jnp.uint32) ^ jnp.uint32(0x80000000)
+            umax = lax.bitcast_convert_type(
+                rmax_s, jnp.uint32) ^ jnp.uint32(0x80000000)
+            # bits where this lane's pool actually differs; all-masked
+            # lanes contribute nothing (their output is NaN regardless)
+            xors.append(jnp.where(ni > 0, umin ^ umax, jnp.uint32(0)))
+            umins.append(umin)
             rkeys.append(rkey)
             ks.append(k)
             fracs.append(frac)
             nfs.append(nf)
             masks.append(mask)
+
+        # COMMON-PREFIX SKIP: every finite key in a lane's pool shares
+        # its bits above that lane's min^max highest set bit — and so
+        # does the answer (an order statistic of the pool). Seed lo
+        # with that shared prefix and start the radix loop at the first
+        # bit where ANY lane/doy differs: the per-bit trajectory below
+        # the start is unchanged (identical counts, identical
+        # candidates), so the selected key is BIT-IDENTICAL to the full
+        # 32-iteration loop. SST pools for one doy span a few degC, so
+        # ~8-10 leading bits (sign+exponent+top mantissa) are common.
+        X = xors[0]
+        for g in range(1, G):
+            X = X | xors[g]
+        # highest set bit of X per lane (5-step binary search; no clz)
+        hb = jnp.zeros((1, LANES), jnp.int32)
+        xw = X
+        for s in (16, 8, 4, 2, 1):
+            t = xw >> jnp.uint32(s)
+            nz = lax.bitcast_convert_type(t, jnp.int32) != 0
+            xw = jnp.where(nz, t, xw)
+            hb = hb + jnp.where(nz, jnp.int32(s), jnp.int32(0))
+        maxbit = jnp.max(hb)  # scalar: worst lane over all G doys
+        sh = jnp.minimum(maxbit + 1, 31).astype(jnp.uint32)
+        himask = jnp.where(maxbit >= 31, jnp.uint32(0),
+                           jnp.uint32(0xFFFFFFFF) << sh)
+        i0 = jnp.int32(31) - maxbit
 
         def bit_iter(i, los):
             shift = (31 - i).astype(jnp.uint32)
@@ -213,8 +255,8 @@ def _kernel_batched(starts_ref, lens_ref, ts_ref, th_ref, se_ref, pool,
             return tuple(out)
 
         los = lax.fori_loop(
-            0, 32, bit_iter,
-            tuple(jnp.zeros((1, LANES), jnp.uint32) for _ in range(G)))
+            i0, 32, bit_iter,
+            tuple(umins[g] & himask for g in range(G)))
 
         for g in range(G):
             lo = los[g]
