@@ -179,8 +179,7 @@ def bench_global_fused():
         return detect_kernel(ts_p[:T], th, se, doy_pos, K=K,
                              use_pallas_scan=use_pallas)
 
-    @jax.jit
-    def step(ts_p):
+    def _step1(ts_p):
         table, nev, _ = _core(ts_p)
         digest = jnp.stack(
             [jnp.nansum(v.astype(jnp.float32)) for v in table.values()])
@@ -188,6 +187,21 @@ def bench_global_fused():
         # never overflowed (raw counts may exceed K; a silent overflow
         # would truncate events out of the digest)
         return digest, jnp.sum(nev), jnp.max(nev)
+
+    step = jax.jit(_step1)
+
+    # PAIRED DISPATCH: two blocks per executable. Through the axon
+    # tunnel each dispatched executable costs ~13 ms of host issue time
+    # that does NOT overlap device execution (round-5 measurement:
+    # 93.7 ms/block single vs 69.6 paired on an 82 ms device step), so
+    # the timed loops below run block pairs — identical per-block work,
+    # half the dispatches. XLA schedules the two blocks sequentially;
+    # peak HBM stays ~2 scan buffers (~2 GB).
+    @jax.jit
+    def step_pair(a, b):
+        d0, n0, m0 = _step1(a)
+        d1, n1, m1 = _step1(b)
+        return d0 + d1, n0 + n1, jnp.maximum(m0, m1)
 
     # BASELINE config 5 at global scale: the full device-resident stats
     # pipeline chained on the fused step — year-block aggregations
@@ -201,8 +215,7 @@ def bench_global_fused():
          - t[0].astype("datetime64[Y]").astype(np.int64)).astype(np.int32))
     n_years = int(np.asarray(year_of).max()) + 1
 
-    @jax.jit
-    def step_stats(ts_p):
+    def _step_stats1(ts_p):
         table, nev, _ = _core(ts_p)
         tstart = table["time_start"]
         valid = tstart >= 0
@@ -218,6 +231,14 @@ def bench_global_fused():
                   + jnp.stack([jnp.nansum((n_years + 1.0) / r)
                                for r in ranks.values()]).sum())
         return digest, jnp.sum(nev)
+
+    step_stats = jax.jit(_step_stats1)
+
+    @jax.jit
+    def step_stats_pair(a, b):
+        d0, n0 = _step_stats1(a)
+        d1, n1 = _step_stats1(b)
+        return d0 + d1, n0 + n1
 
     # Pre-stage a handful of distinct device-resident input blocks and
     # round-robin the timed steps over them: the synthetic generator
@@ -242,7 +263,8 @@ def bench_global_fused():
     digest, nev, nmax = step(staged[-1])
     assert np.isfinite(np.asarray(digest)).all()
     warm_events = int(nev)
-    ramp = [step(staged[i % ngen]) for i in range(4)]
+    ramp = [step_pair(staged[2 * i % ngen], staged[(2 * i + 1) % ngen])
+            for i in range(4)]
     _ = np.asarray(jnp.stack([d for d, _, _ in ramp]).sum(axis=0))
 
     # XMHW_BENCH_TRACE=dir: capture a jax.profiler trace of ONE warm
@@ -262,7 +284,10 @@ def bench_global_fused():
             log(f"[bench] profiler trace failed: {e}")
 
     t0 = time.perf_counter()
-    outs = [step(staged[i % ngen]) for i in range(n_blocks)]
+    outs = [step_pair(staged[2 * i % ngen], staged[(2 * i + 1) % ngen])
+            for i in range(n_blocks // 2)]
+    if n_blocks % 2:
+        outs.append(step(staged[(n_blocks - 1) % ngen]))
     # one device-side reduction + two host fetches (D2H through the
     # tunnel is ~12 MB/s with ~100 ms RTT; per-block scalar fetches
     # would measure the tunnel, not the chip)
@@ -278,8 +303,13 @@ def bench_global_fused():
     # stats pipeline at global scale (device-resident end to end)
     ds0, _ = step_stats(staged[-1])
     assert np.isfinite(float(np.asarray(ds0)))
+    _ = float(np.asarray(step_stats_pair(staged[0], staged[1 % ngen])[0]))
     t1 = time.perf_counter()
-    souts = [step_stats(staged[i % ngen]) for i in range(n_blocks)]
+    souts = [step_stats_pair(staged[2 * i % ngen],
+                             staged[(2 * i + 1) % ngen])
+             for i in range(n_blocks // 2)]
+    if n_blocks % 2:
+        souts.append(step_stats(staged[(n_blocks - 1) % ngen]))
     _ = np.asarray(jnp.stack([d for d, _ in souts]).sum())
     dstats = time.perf_counter() - t1
 
@@ -294,6 +324,7 @@ def bench_global_fused():
         "events": total_events,
         "max_raw_events_per_cell": max_raw,
         "K": K,
+        "blocks_per_dispatch": 2,
         "warmup_events": warm_events,
         "global_oisst_1chip_s": round(GLOBAL_CELLS / rate, 1),
         # projection, not a measurement: derived as 1-chip rate / 8 —
