@@ -326,17 +326,58 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
 
     TBK = tbk
     nbk = -(-Tq // TBK)
-    # ev_end rides the SAME block gather as the start counter: the start
-    # row of event k is a day row, so ev_end at that row is the event's
-    # end — selecting it from the gathered block by the already-computed
-    # within-offset replaces a separate (K, C)-indexed gather from the
-    # (T, C) array (measured ~8 ms / 4096 cells: XLA lowers the 2-D
-    # per-lane take_along_axis at ~0.25 GB/s, it is INDEX-bound) with
-    # one compare+sum over rows already in registers.
-    evd = jnp.where(day, f["ev_end"], 0)
     valid = (lax.broadcasted_iota(_I32, (K, C), 0) < n_valid[None, :])
-    if cnt_ct:
-        # CHANNEL-MINOR counting (default, round-5 measured): blocks
+    if use_pallas_scan:
+        # END-COUNTER counting (round 5): locate event ENDS directly —
+        # cumend = #(ends at rows <= t) is pointwise from outputs the
+        # filter already has (merged runs are CONTIGUOUS day spans, so
+        # is_end = day & ~day_next and cumend = cumstart - day + is_end)
+        # and is monotone, so the same two-level counting yields end_pos
+        # with HALF the gathered bytes (no ev_end block riding along).
+        # The start position is NOT counted at all: the fused scan
+        # already carries first-finite-relSeas (= the event's start row,
+        # since the start day is an exceedance day) and the boundary
+        # gather at end rows brings it down for free. Replaces the
+        # cumstart+ev_end formulation (kept below for the XLA engine):
+        # -537->268 MB counting gather, no 2*TBK concat, no ev_end
+        # select-sum, and the RLE's backward ev_end pass dead-codes out
+        # of the fused program when `intermediate` is off.
+        di = day.astype(_I32)
+        ie = di * (1 - jnp.concatenate(
+            [di[1:], jnp.zeros((1, C), _I32)], axis=0))
+        cumend = cumstart - di + ie  # (Tq, C) monotone
+
+        # channel-minor blocks (see cnt_ct below): contiguous per-(k,c)
+        # fetches, relayout glue on the small (K, C) outputs
+        if nbk * TBK != Tq:
+            cumend = jnp.concatenate(
+                [cumend,
+                 jnp.broadcast_to(cumend[-1:], (nbk * TBK - Tq, C))],
+                axis=0)
+        cb = cumend.reshape(nbk, TBK, C).transpose(0, 2, 1)
+        blk_final = cb[:, :, TBK - 1]  # (nbk, C)
+        bk = jnp.sum((blk_final[:, None, :] < target[None, :, :])
+                     .astype(_I32), axis=0,
+                     dtype=_I32)  # (K, C) block holding event k's end
+        blk_t = jnp.take_along_axis(
+            cb, jnp.clip(bk, 0, nbk - 1)[:, :, None],
+            axis=0)  # (K, C, TBK)
+        within = jnp.sum((blk_t < target[:, :, None]).astype(_I32),
+                         axis=2, dtype=_I32)
+        end_pos = jnp.minimum(bk * TBK + within, T - 1)
+        # `start` is read from the boundary gather's first-finite-
+        # relSeas channel after the scan (see below)
+    elif cnt_ct:
+        # ev_end rides the SAME block gather as the start counter: the
+        # start row of event k is a day row, so ev_end at that row is
+        # the event's end — selecting it from the gathered block by the
+        # already-computed within-offset replaces a separate
+        # (K, C)-indexed gather from the (T, C) array (measured
+        # ~8 ms / 4096 cells: XLA lowers the 2-D per-lane
+        # take_along_axis at ~0.25 GB/s, it is INDEX-bound) with one
+        # compare+sum over rows already in registers.
+        evd = jnp.where(day, f["ev_end"], 0)
+        # CHANNEL-MINOR counting (round-5 measured): blocks
         # laid out (nbk, C, TBK) so the per-(k,c) block fetch is one
         # contiguous 2*TBK-word run AND the gather's native output
         # layout is the one the compare+sums consume directly. The
@@ -376,6 +417,7 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
                 blk_t[:, :, TBK:], 0), axis=2,
             dtype=_I32)  # pin: x64 would promote to int64
     else:
+        evd = jnp.where(day, f["ev_end"], 0)
         stacked = jnp.stack([cumstart, evd], axis=1)  # (Tq, 2, C)
         if nbk * TBK != Tq:  # pad rows repeat the final row: counter
             # never drops below target, and pad ev_end rows are only
@@ -591,6 +633,13 @@ def detect_kernel(ts, th, se, doy_pos, K, min_duration=5, join_gaps=True,
         peak = G[:, 3, :]
         i_rs_first, i_rs_last = G[:, 4, :], G[:, 5, :]
         i_ap_first, i_am_last = G[:, 6, :], G[:, 7, :]
+        # the event's start row IS its segment's first finite relSeas:
+        # segments reset at is_start, and the start day is an
+        # exceedance day (ts > thresh, thresh/seas finite there), so
+        # relSeas is finite at it. Reading it from the gathered scan
+        # state replaces the second (cumstart) counting pass.
+        start_pos = jnp.clip(i_rs_first, 0, T - 1)
+        start = jnp.where(valid, start_pos, 0)
     else:
         idx = lax.broadcasted_iota(_I32, ts.shape, 0)
         carrier = (
